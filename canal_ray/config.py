@@ -1,0 +1,65 @@
+"""Job configuration — the analog of Canal's ``instance.properties`` surface.
+
+Reference knobs mirrored here (file:line in /root/reference):
+  - subscribe filter regex (white/black):
+    ``filter/.../aviater/AviaterRegexFilter.java:57-72``,
+    ``parse/.../inbound/AbstractEventParser.java:56-63``
+  - field (column) filter / blacklist: ``AbstractEventParser.java:569-589``
+  - partition count + partition-hash key:
+    ``connector/core/.../MQMessageUtils.java:558-599`` (we fix the key to the
+    table PK ``(repo, path)``; see ``canal_ray.partition``)
+  - batch sizing: ``canal.properties:36-56`` store bounds -> here Ray Data
+    ``batch_size`` / block size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CdcConfig:
+    """Configuration for one CDC replay job (one Canal "destination")."""
+
+    # --- I/O -------------------------------------------------------------
+    log_dir: str  # directory of binlog segment parquet files (ordered)
+    lake_dir: str  # output lake root (partition dirs + _checkpoints)
+    base_table: str | None = None  # optional initial-snapshot parquet (ETL full load)
+
+    # --- logical table ---------------------------------------------------
+    schema_name: str = "mytest"
+    table_name: str = "repos"
+    pk_columns: tuple[str, str] = ("repo", "path")
+    # initial payload schema as (name, arrow-type-string) pairs; evolved by DDL
+    initial_schema: tuple[tuple[str, str], ...] = (
+        ("repo", "string"),
+        ("path", "string"),
+        ("commit", "string"),
+        ("lang", "string"),
+        ("content", "string"),
+    )
+
+    # --- filters (AviaterRegexFilter analog) -----------------------------
+    table_filter: str = r"mytest\.repos"  # whitelist regex on "schema.table"
+    table_black_filter: str | None = None  # blacklist regex, applied after whitelist
+    column_filter: tuple[str, ...] | None = None  # keep-only columns (beyond PK)
+
+    # --- partitioning / shuffle ------------------------------------------
+    num_partitions: int = 32
+
+    # --- epoching / batching ---------------------------------------------
+    epoch_segments: int = 4  # segments consumed per epoch (per "get" batch)
+    decode_batch_size: int = 32 * 1024  # rows per decode batch
+
+    # --- behavior flags ---------------------------------------------------
+    filter_dml_insert: bool = False  # MysqlMultiStageCoprocessor.java:74-76
+    filter_dml_update: bool = False
+    filter_dml_delete: bool = False
+    filter_ddl: bool = False  # LogEventConvert.java:98-105 (filterQueryDdl)
+    hot_key_top_n: int = 8  # per-partition skew counter size (lineage)
+
+    # free-form extras for experiments
+    extras: dict = field(default_factory=dict)
+
+    def payload_columns(self) -> list[str]:
+        return [n for n, _ in self.initial_schema]

@@ -1,0 +1,341 @@
+"""Deterministic synthetic binlog fixture generator (seeded, streaming).
+
+Produces the engine's only inputs (FIXTURES.md §1-2):
+
+  <out_dir>/base/repos.parquet            initial snapshot of the source table
+  <out_dir>/binlog/segment_00000.parquet  ordered change-event segments
+  <out_dir>/fixture_meta.json             generation parameters
+
+The event-log schema mirrors Canal's Entry/Header/RowChange/Column model
+(``/root/reference/protocol/src/main/java/com/alibaba/otter/canal/protocol/
+EntryProtocol.proto:12-153``) flattened into one stable Arrow schema. Column
+values are transported as **strings** in parallel ``cols``/``vals`` list
+columns — exactly Canal's stringly ``Column.value`` contract
+(``EntryProtocol.proto:76-109``); typed materialization happens at apply time
+against the DDL-evolved schema registry. Keeping the log schema fixed while
+the *payload* column set evolves lets every segment share one Parquet schema
+(Canal likewise never changes its wire protocol when tables evolve).
+
+Rows carry full after-images (binlog_format=ROW, binlog_row_image=FULL — the
+mode Canal requires, ``parse/.../AbstractMysqlEventParser.java:149-168``), so
+UPDATE == whole-row replace. DELETE carries only the PK (the pre-image is
+redundant given FULL images; a space optimization, noted vs
+``EntryProtocol.proto:111-121``).
+
+Generation is vectorized per segment and never materializes the whole log:
+the same code writes 10^4 rows for tests and 10^7+ for the bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EPOCH_MS = 1_600_000_000_000  # fixed base timestamp (no wall-clock)
+
+LOG_SCHEMA = pa.schema(
+    [
+        pa.field("lsn", pa.int64()),
+        pa.field("segment", pa.int32()),
+        pa.field("txn_id", pa.int64()),
+        pa.field("op", pa.string()),  # INSERT | UPDATE | DELETE | DDL
+        pa.field("schema_name", pa.string()),
+        pa.field("table_name", pa.string()),
+        pa.field("pk_repo", pa.string()),
+        pa.field("pk_path", pa.string()),
+        pa.field("cols", pa.list_(pa.string())),  # column names of the after-image
+        pa.field("vals", pa.list_(pa.string())),  # values as strings (Canal contract)
+        pa.field("ddl_sql", pa.string()),
+        pa.field("execute_time", pa.timestamp("ms")),
+    ]
+)
+
+BASE_COLS = ["repo", "path", "commit", "lang", "content"]
+
+_EXTS = ["py", "java", "go", "rs", "ts", "md", "c", "rb"]
+_LANGS = {
+    "py": "python", "java": "java", "go": "go", "rs": "rust",
+    "ts": "typescript", "md": "markdown", "c": "c", "rb": "ruby",
+}
+
+# DDL schedule: (fraction of the log, sql). Additive-only (SURVEY.md §7 step 6).
+DDL_SCHEDULE = [
+    (0.30, "ALTER TABLE mytest.repos ADD COLUMN stars INT NULL"),
+    (0.50, "ALTER TABLE mytest.repos MODIFY COLUMN stars BIGINT"),
+    (0.70, "ALTER TABLE mytest.repos ADD COLUMN license VARCHAR(64) NULL"),
+]
+_LICENSES = ["mit", "apache-2.0", "bsd-3", "gpl-3.0", "mpl-2.0"]
+
+
+def _content_pool(rng: np.random.Generator, scale: float) -> list[str]:
+    """~256 deterministic pseudo-code snippets, log-normal lengths (~scale avg chars)."""
+    words = [
+        "def", "return", "class", "import", "self", "for", "in", "if", "else",
+        "while", "lambda", "yield", "async", "await", "raise", "try", "except",
+        "value", "result", "index", "buffer", "stream", "batch", "apply",
+        "merge", "commit", "offset", "schema", "table", "partition", "upsert",
+    ]
+    pool = []
+    for i in range(256):
+        n_chars = int(np.exp(rng.normal(np.log(max(scale, 16)), 0.8)))
+        n_chars = int(np.clip(n_chars, 16, scale * 16))
+        toks = rng.choice(words, size=max(4, n_chars // 7))
+        lines = []
+        line: list[str] = []
+        for t in toks:
+            line.append(str(t))
+            if len(line) >= 8:
+                lines.append("    ".join(line))
+                line = []
+        if line:
+            lines.append(" ".join(line))
+        pool.append(f"# snippet {i}\n" + "\n".join(lines))
+    return pool
+
+
+def _hex_ids(rng: np.random.Generator, n: int, nbytes: int = 20) -> list[str]:
+    raw = rng.bytes(nbytes * n)
+    return [raw[i * nbytes : (i + 1) * nbytes].hex() for i in range(n)]
+
+
+class _KeyPool:
+    """Deterministic universe of (repo, path) keys with Zipf repo skew."""
+
+    def __init__(self, rng: np.random.Generator, total: int, zipf_s: float):
+        n_repos = max(8, total // 64)
+        ranks = np.arange(1, n_repos + 1, dtype=np.float64)
+        w = ranks ** (-zipf_s)
+        w /= w.sum()
+        repo_ids = rng.choice(n_repos, size=total, p=w)
+        self.repo = np.array(
+            [f"org{r % 13}/repo{r}" for r in repo_ids], dtype=object
+        )
+        ext_ids = rng.integers(0, len(_EXTS), size=total)
+        self.ext = np.array([_EXTS[e] for e in ext_ids], dtype=object)
+        self.lang = np.array([_LANGS[e] for e in self.ext], dtype=object)
+        # path unique per key index -> (repo, path) unique
+        self.path = np.array(
+            [f"src/m{k // 500}/f{k}.{self.ext[k]}" for k in range(total)],
+            dtype=object,
+        )
+        self.total = total
+
+
+def generate_fixture(
+    out_dir: str,
+    *,
+    n_base: int = 1_000,
+    n_events: int = 10_000,
+    n_segments: int = 2,
+    seed: int = 7,
+    zipf_s: float = 1.15,
+    content_scale: float = 400.0,
+    p_insert: float = 0.35,
+    p_update: float = 0.45,
+    p_noise: float = 0.01,
+    hot_frac: float = 0.2,
+    force: bool = False,
+) -> dict:
+    """Generate base table + binlog segments; returns the fixture meta dict.
+
+    Idempotent: if ``fixture_meta.json`` exists with identical params, the
+    existing fixture is reused (the bench caches its input this way).
+    """
+    meta_path = os.path.join(out_dir, "fixture_meta.json")
+    params = dict(
+        n_base=n_base, n_events=n_events, n_segments=n_segments, seed=seed,
+        zipf_s=zipf_s, content_scale=content_scale, p_insert=p_insert,
+        p_update=p_update, p_noise=p_noise, hot_frac=hot_frac, version=3,
+    )
+    if not force and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if old.get("params") == params:
+            return old
+
+    rng = np.random.default_rng(seed)
+    pool_strings = _content_pool(rng, content_scale)
+    n_pool = len(pool_strings)
+
+    # key universe: base keys + enough for all possible inserts
+    max_inserts = int(n_events * (p_insert + 0.05)) + n_segments + 16
+    keys = _KeyPool(rng, n_base + max_inserts, zipf_s)
+
+    os.makedirs(os.path.join(out_dir, "base"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "binlog"), exist_ok=True)
+
+    # ---- base table (initial snapshot; lsn 0) ---------------------------
+    base_idx = np.arange(n_base)
+    base_cid = rng.integers(0, n_pool, size=n_base)
+    base_commit = _hex_ids(rng, n_base)
+    base_content = [pool_strings[c] + f"\n# rev 0.{k}" for k, c in zip(base_idx, base_cid)]
+    base_tbl = pa.table(
+        {
+            "repo": pa.array(keys.repo[:n_base], type=pa.string()),
+            "path": pa.array(keys.path[:n_base], type=pa.string()),
+            "commit": pa.array(base_commit, type=pa.string()),
+            "lang": pa.array(keys.lang[:n_base], type=pa.string()),
+            "content": pa.array(base_content, type=pa.string()),
+        }
+    )
+    pq.write_table(base_tbl, os.path.join(out_dir, "base", "repos.parquet"))
+
+    # ---- DDL schedule at absolute LSNs ----------------------------------
+    ddl_lsns = {}
+    for frac, sql in DDL_SCHEDULE:
+        lsn = max(2, int(n_events * frac))
+        ddl_lsns[lsn] = sql
+    stars_lsn = min(l for l, s in ddl_lsns.items() if "ADD COLUMN stars" in s)
+    widen_lsn = min(l for l, s in ddl_lsns.items() if "MODIFY" in s)
+    license_lsn = min(l for l, s in ddl_lsns.items() if "license" in s)
+
+    n_inserted = 0  # keys consumed from pool beyond base
+    next_txn = 1
+    lsn0 = 1
+    seg_sizes = [n_events // n_segments] * n_segments
+    seg_sizes[-1] += n_events - sum(seg_sizes)
+    segments = []
+
+    for seg in range(n_segments):
+        n_ev = seg_sizes[seg]
+        lsns = np.arange(lsn0, lsn0 + n_ev, dtype=np.int64)
+
+        # op selection ------------------------------------------------------
+        u = rng.random(n_ev)
+        ops = np.full(n_ev, "UPDATE", dtype=object)
+        ops[u < p_insert] = "INSERT"
+        ops[u >= p_insert + p_update] = "DELETE"
+        noise = rng.random(n_ev) < p_noise
+        ddl_mask = np.isin(lsns, list(ddl_lsns.keys()))
+        ops[ddl_mask] = "DDL"
+        noise[ddl_mask] = False
+
+        ins_mask = (ops == "INSERT") & ~noise
+        # target selection for UPDATE/DELETE: any key inserted so far
+        n_before = n_base + n_inserted
+        inserted_so_far = n_before + np.cumsum(ins_mask) - ins_mask  # exclusive
+        tgt_u = rng.random(n_ev)
+        targets = np.minimum(
+            (tgt_u * np.maximum(inserted_so_far, 1)).astype(np.int64),
+            np.maximum(inserted_so_far - 1, 0),
+        )
+        # hot-key boost: a fraction of updates hammer the first 100 keys
+        hot = (rng.random(n_ev) < hot_frac) & (ops == "UPDATE")
+        targets[hot] = (tgt_u[hot] * min(100, n_before or 1)).astype(np.int64)
+        # events with no possible target become INSERTs
+        impossible = (inserted_so_far == 0) & ((ops == "UPDATE") | (ops == "DELETE"))
+        ops[impossible] = "INSERT"
+        ins_mask = (ops == "INSERT") & ~noise
+
+        # key index per event ----------------------------------------------
+        key_idx = targets.copy()
+        ins_positions = np.flatnonzero(ins_mask)
+        key_idx[ins_positions] = n_base + n_inserted + np.arange(len(ins_positions))
+        n_inserted += len(ins_positions)
+
+        # transactions: sizes 1..50, never spanning segments (Canal's
+        # EventTransactionBuffer groups by txn; our epochs align to segments)
+        txn_sizes = rng.integers(1, 51, size=n_ev // 2 + 2)
+        txn_rep = np.repeat(np.arange(len(txn_sizes)) + next_txn, txn_sizes)[:n_ev]
+        if len(txn_rep) < n_ev:
+            txn_rep = np.concatenate(
+                [txn_rep, np.full(n_ev - len(txn_rep), txn_rep[-1] if len(txn_rep) else next_txn)]
+            )
+        next_txn = int(txn_rep[-1]) + 1
+
+        # payload values ----------------------------------------------------
+        commit = np.array(_hex_ids(rng, n_ev), dtype=object)
+        cid = rng.integers(0, n_pool, size=n_ev)
+        stars_small = rng.integers(0, 1_000, size=n_ev)
+        stars_big = rng.integers(0, 10**12, size=n_ev)
+        lic = rng.integers(0, len(_LICENSES), size=n_ev)
+
+        has_image = ((ops == "INSERT") | (ops == "UPDATE")) & ~noise
+        has_stars = lsns > stars_lsn
+        widened = lsns > widen_lsn
+        has_license = lsns > license_lsn
+
+        repo_arr = keys.repo[key_idx]
+        path_arr = keys.path[key_idx]
+        lang_arr = keys.lang[key_idx]
+
+        # build cols/vals list columns (string transport, Canal Column model)
+        cols_out: list[list[str] | None] = [None] * n_ev
+        vals_out: list[list[str] | None] = [None] * n_ev
+        img_positions = np.flatnonzero(has_image)
+        for i in img_positions:
+            names = list(BASE_COLS)
+            v = [
+                repo_arr[i],
+                path_arr[i],
+                commit[i],
+                lang_arr[i],
+                pool_strings[cid[i]] + f"\n# rev {lsns[i]}",
+            ]
+            if has_stars[i]:
+                names.append("stars")
+                v.append(str(stars_big[i] if widened[i] else stars_small[i]))
+            if has_license[i]:
+                names.append("license")
+                v.append(_LICENSES[lic[i]])
+            cols_out[i] = names
+            vals_out[i] = v
+        # noise events for an unsubscribed table (exercises the regex filter)
+        for i in np.flatnonzero(noise):
+            ops[i] = "INSERT"
+            cols_out[i] = ["id", "note"]
+            vals_out[i] = [str(int(lsns[i])), "audit row"]
+
+        table_name = np.where(noise, "audit", "repos").astype(object)
+        table_name[ddl_mask] = "repos"
+        pk_repo = repo_arr.copy()
+        pk_path = path_arr.copy()
+        pk_repo[ddl_mask | noise] = None
+        pk_path[ddl_mask | noise] = None
+        ddl_sql = np.full(n_ev, None, dtype=object)
+        for i in np.flatnonzero(ddl_mask):
+            ddl_sql[i] = ddl_lsns[int(lsns[i])]
+
+        seg_tbl = pa.table(
+            {
+                "lsn": pa.array(lsns, type=pa.int64()),
+                "segment": pa.array(np.full(n_ev, seg, dtype=np.int32)),
+                "txn_id": pa.array(txn_rep.astype(np.int64)),
+                "op": pa.array(list(ops), type=pa.string()),
+                "schema_name": pa.array(["mytest"] * n_ev, type=pa.string()),
+                "table_name": pa.array(list(table_name), type=pa.string()),
+                "pk_repo": pa.array(list(pk_repo), type=pa.string()),
+                "pk_path": pa.array(list(pk_path), type=pa.string()),
+                "cols": pa.array(cols_out, type=pa.list_(pa.string())),
+                "vals": pa.array(vals_out, type=pa.list_(pa.string())),
+                "ddl_sql": pa.array(list(ddl_sql), type=pa.string()),
+                "execute_time": pa.array(EPOCH_MS + lsns * 10, type=pa.timestamp("ms")),
+            },
+            schema=LOG_SCHEMA,
+        )
+        seg_path = os.path.join(out_dir, "binlog", f"segment_{seg:05d}.parquet")
+        pq.write_table(seg_tbl, seg_path, row_group_size=64 * 1024)
+        segments.append(seg_path)
+        lsn0 += n_ev
+
+    meta = {
+        "params": params,
+        "n_keys_total": int(keys.total),
+        "n_inserted": int(n_inserted),
+        "ddl_lsns": {str(k): v for k, v in ddl_lsns.items()},
+        "segments": [os.path.basename(s) for s in segments],
+        "base": "base/repos.parquet",
+        "last_lsn": int(lsn0 - 1),
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def segment_paths(fixture_dir: str) -> list[str]:
+    d = os.path.join(fixture_dir, "binlog")
+    return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]

@@ -1,0 +1,126 @@
+"""Sequential single-process replay oracle + canonical row hashing.
+
+The reference ships no golden end-state corpus (SURVEY.md §5) — apply
+correctness is delegated to live-target integration tests. We therefore build
+our own oracle: a trivially-correct, single-threaded, in-order replay of the
+binlog over the base snapshot. The distributed engine's materialized lake must
+be row-for-row identical (per-row sha256 of a canonical serialization —
+the BASELINE.json invariant).
+
+Apply semantics (deliberately upsert-flavored, documented deviation):
+  - INSERT and UPDATE both *put* the full after-image (binlog_row_image=FULL,
+    so UPDATE == whole-row replace; Canal's Kudu adapter applies exactly this
+    upsert semantic, ``client-adapter/kudu/.../KuduSyncService.java:51-152``,
+    and the RDB adapter's insert is dup-key-tolerant,
+    ``client-adapter/rdb/.../RdbSyncService.java:284-291``).
+  - DELETE removes the key (tombstone).
+  - DDL evolves the schema additively; pre-existing rows get NULL for added
+    columns (``parse/.../tsdb/MemoryTableMeta.java`` semantics).
+  - Last-writer-wins by lsn — the log's total order (Header.logfileName+
+    offset analog, ``EntryProtocol.proto:32-36``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from canal_ray.ddl import TableSchema
+from canal_ray.loggen import segment_paths
+
+
+def replay_oracle(
+    fixture_dir: str,
+    initial_schema: list[tuple[str, str]],
+    *,
+    table_filter: str = "mytest.repos",
+    up_to_lsn: int | None = None,
+) -> tuple[pd.DataFrame, TableSchema]:
+    """Replay the fixture sequentially; return (final state, final schema).
+
+    The returned DataFrame has one row per live key, columns = final payload
+    schema (typed), sorted by (repo, path).
+    """
+    import os
+
+    schema = TableSchema(initial_schema)
+    state: dict[tuple[str, str], dict] = {}
+
+    base = pq.read_table(os.path.join(fixture_dir, "base", "repos.parquet"))
+    for row in base.to_pylist():
+        state[(row["repo"], row["path"])] = dict(row)
+
+    want_schema, want_table = table_filter.split(".", 1)
+    for seg in segment_paths(fixture_dir):
+        tbl = pq.read_table(seg)
+        for row in tbl.sort_by("lsn").to_pylist():
+            if up_to_lsn is not None and row["lsn"] > up_to_lsn:
+                return _finalize(state, schema)
+            if row["op"] == "DDL":
+                schema.apply(row["ddl_sql"])
+                continue
+            if row["schema_name"] != want_schema or row["table_name"] != want_table:
+                continue
+            key = (row["pk_repo"], row["pk_path"])
+            if row["op"] == "DELETE":
+                state.pop(key, None)
+            else:  # INSERT / UPDATE -> put full image
+                img = dict(zip(row["cols"], row["vals"]))
+                state[key] = img
+    return _finalize(state, schema)
+
+
+def _finalize(state: dict, schema: TableSchema) -> tuple[pd.DataFrame, TableSchema]:
+    cols = schema.names()
+    records = []
+    for (repo, path), img in state.items():
+        rec = {c: img.get(c) for c in cols}
+        rec["repo"], rec["path"] = repo, path
+        records.append(rec)
+    df = pd.DataFrame.from_records(records, columns=cols)
+    # typed columns per final schema (string transport -> typed)
+    arrow = schema.to_arrow()
+    for name, typ in zip(arrow.names, arrow.types):
+        if pa.types.is_integer(typ):
+            df[name] = pd.to_numeric(df[name]).astype("Int64")
+        elif pa.types.is_floating(typ):
+            df[name] = pd.to_numeric(df[name]).astype("float64")
+    df = df.sort_values(["repo", "path"]).reset_index(drop=True)
+    return df, schema
+
+
+def row_sha256(df: pd.DataFrame) -> pd.Series:
+    """Canonical per-row hash: 'col=value' joined over sorted column names.
+
+    Nulls serialize as the empty marker '∅'; integers without '.0'. The same
+    function is applied to the oracle and the engine output, so equality of
+    hash multisets == row-for-row state equality.
+    """
+    cols = sorted(df.columns)
+    parts = []
+    for c in cols:
+        s = df[c]
+        if str(s.dtype) in ("Int64", "int64", "float64", "Float64"):
+            txt = s.astype(object).map(
+                lambda v: "∅"
+                if pd.isna(v)
+                else str(int(v))
+                if float(v).is_integer()
+                else repr(float(v))
+            )
+        else:
+            txt = s.astype(object).map(lambda v: "∅" if pd.isna(v) else str(v))
+        parts.append(c + "=" + txt.astype(str))
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined + "|" + p
+    return joined.map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+
+
+def state_digest(df: pd.DataFrame) -> str:
+    """Order-insensitive digest of the whole table state."""
+    hashes = sorted(row_sha256(df).tolist())
+    return hashlib.sha256("\n".join(hashes).encode()).hexdigest()

@@ -1,0 +1,267 @@
+"""CdcJob — the end-to-end replay pipeline (one Canal "destination").
+
+Dataflow per epoch (SURVEY.md §7.1), all Ray-Data-native::
+
+    read_parquet(segment group)                      stateless read tasks
+      -> map_batches(decode)                         filter/route/pre-compact (Arrow, zero-copy)
+         -> groupby(partition_id).map_groups(apply)  THE one shuffle; per-partition
+            LWW delta write + fenced checkpoint      sink apply (RdbSyncService analog)
+      -> driver: epoch manifest (cursor advance)     ack (CanalServerWithEmbedded.ack analog)
+
+Epochs are groups of log segments — the unit of consumption, the analog of
+Canal's ``getWithoutAck(batchSize)`` / ``ack(batchId)`` protocol
+(``server/embedded/CanalServerWithEmbedded.java:350-464``): an epoch manifest
+is only written after every partition of the epoch has durably applied and
+checkpointed, and resume restarts from the first epoch without a manifest.
+Re-running a partially-complete epoch is safe — per-partition offset fencing
+turns duplicate applies into no-ops (exactly-once *effect*).
+
+Epoch 0 is the optional initial snapshot bootstrap — the analog of the
+adapter ETL full load (``client-adapter/common/.../AbstractEtlService.java:30-120``):
+base-table rows become lsn-0 INSERT images routed through the identical
+decode→apply path.
+
+The streaming executor pipelines read/decode/shuffle/apply within an epoch
+with backpressure; nothing materializes the full epoch on the driver — the
+driver only collects one summary row per partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from canal_ray.checkpoint import CheckpointStore
+from canal_ray.config import CdcConfig
+from canal_ray.ddl import TableSchema
+from canal_ray.decode import make_decoder
+from canal_ray.loggen import EPOCH_MS, LOG_SCHEMA
+from canal_ray.sink import LakeCompactor, LakeMerger, lake_partition_dirs, make_applier
+
+
+def _base_to_log(batch: pa.Table, payload_names: list[str]) -> pa.Table:
+    """Initial-snapshot rows -> lsn-0 INSERT events in the log wire format."""
+    n = batch.num_rows
+    L = len(payload_names)
+    mat = np.empty((n, L), dtype=object)
+    for j, name in enumerate(payload_names):
+        col = batch[name]
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        mat[:, j] = col.to_numpy(zero_copy_only=False)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * L)
+    vals = pa.ListArray.from_arrays(offsets, pa.array(mat.ravel(), type=pa.string()))
+    cols = pa.ListArray.from_arrays(
+        offsets, pa.array(np.tile(np.array(payload_names, dtype=object), n), type=pa.string())
+    )
+    return pa.table(
+        {
+            "lsn": pa.array(np.zeros(n, dtype=np.int64)),
+            "segment": pa.array(np.full(n, -1, dtype=np.int32)),
+            "txn_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "op": pa.array(["INSERT"] * n, type=pa.string()),
+            "schema_name": pa.array(["mytest"] * n, type=pa.string()),
+            "table_name": pa.array(["repos"] * n, type=pa.string()),
+            "pk_repo": batch[payload_names[0]],
+            "pk_path": batch[payload_names[1]],
+            "cols": cols,
+            "vals": vals,
+            "ddl_sql": pa.array([None] * n, type=pa.string()),
+            "execute_time": pa.array(np.full(n, EPOCH_MS, dtype=np.int64), type=pa.timestamp("ms")),
+        },
+        schema=LOG_SCHEMA,
+    )
+
+
+class CdcJob:
+    """One replay job over one binlog directory into one lake directory."""
+
+    def __init__(self, cfg: CdcConfig):
+        self.cfg = cfg
+        self.store = CheckpointStore(cfg.lake_dir)
+
+    # ------------------------------------------------------------------ plan
+    def segment_files(self) -> list[str]:
+        d = self.cfg.log_dir
+        return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+
+    def plan(self) -> list[tuple[int, list[str]]]:
+        """[(epoch, segment_paths)]; epoch 0 = bootstrap (empty path list)."""
+        segs = self.segment_files()
+        k = max(1, self.cfg.epoch_segments)
+        plan: list[tuple[int, list[str]]] = [(0, [])]
+        for i in range(0, len(segs), k):
+            plan.append((len(plan), segs[i : i + k]))
+        return plan
+
+    # ------------------------------------------------------------------- run
+    def run(self, max_epochs: int | None = None) -> dict:
+        """Consume all (or ``max_epochs``) un-acked epochs; resumable."""
+        cfg = self.cfg
+        plan = self.plan()
+        last = self.store.last_complete_epoch()
+        schema = self._schema_at(last)
+        processed = 0
+        total_events = 0
+        for epoch, segs in plan:
+            if epoch <= last:
+                continue
+            if max_epochs is not None and processed >= max_epochs:
+                break
+            if epoch == 0:
+                if cfg.base_table is None:
+                    self.store.write_epoch(0, self._manifest(0, [], schema, 0))
+                    processed += 1
+                    continue
+                payload = cfg.payload_columns()
+                ds = ray.data.read_parquet(cfg.base_table)
+                ds = ds.map_batches(
+                    lambda b, _names=payload: _base_to_log(b, _names),
+                    batch_format="pyarrow",
+                    batch_size=cfg.decode_batch_size,
+                )
+            else:
+                ds = ray.data.read_parquet(segs)
+            ds = ds.map_batches(
+                make_decoder(cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.decode_batch_size,
+            )
+            applier = make_applier(cfg, epoch, schema.to_json())
+            summaries = (
+                ds.groupby("partition_id")
+                .map_groups(applier, batch_format="pyarrow")
+                .take_all()
+            )
+            schema = self._advance_schema(schema, summaries)
+            events = int(sum(s["events"] for s in summaries))
+            total_events += events
+            self.store.write_epoch(epoch, self._manifest(epoch, segs, schema, events))
+            processed += 1
+        return {
+            "epochs_processed": processed,
+            "last_epoch": self.store.last_complete_epoch(),
+            "events": total_events,
+            "schema": schema.to_json(),
+            "schema_fingerprint": schema.fingerprint(),
+        }
+
+    def _manifest(self, epoch: int, segs: list[str], schema: TableSchema, events: int) -> dict:
+        return {
+            "epoch": epoch,
+            "segments": [os.path.basename(s) for s in segs],
+            "schema": schema.to_json(),
+            "schema_fingerprint": schema.fingerprint(),
+            "events": events,
+        }
+
+    def _schema_at(self, epoch: int) -> TableSchema:
+        if epoch >= 0:
+            m = self.store.read_epoch(epoch)
+            if m is not None:
+                return TableSchema.from_json(m["schema"])
+        return TableSchema(self.cfg.initial_schema)
+
+    def _advance_schema(self, schema: TableSchema, summaries: list[dict]) -> TableSchema:
+        """Merge end-of-epoch schemas from partition summaries.
+
+        DDL is replicated to every partition, so all non-skipped summaries must
+        agree; a mismatch means a broken invariant and fails the epoch.
+        """
+        fps = {s["schema_fingerprint"] for s in summaries}
+        if len(fps) > 1:
+            raise RuntimeError(f"divergent partition schemas in one epoch: {fps}")
+        if summaries:
+            return TableSchema.from_json(json.loads(summaries[0]["schema_json"]))
+        return schema
+
+    # ----------------------------------------------------------------- state
+    def final_schema(self) -> TableSchema:
+        return self._schema_at(self.store.last_complete_epoch())
+
+    def read_state(self, keep_lsn: bool = False) -> "ray.data.Dataset":
+        """The materialized lake as a Dataset (per-partition merge tasks)."""
+        dirs = lake_partition_dirs(self.cfg.lake_dir)
+        schema = self.final_schema()
+        if not dirs:  # nothing ever applied (e.g. everything filtered out)
+            empty = schema.to_arrow().empty_table()
+            if keep_lsn:
+                empty = empty.append_column("_lsn", pa.array([], type=pa.int64()))
+            return ray.data.from_arrow(empty)
+        items = [{"part_dir": d} for d in dirs]
+        merger = LakeMerger(schema.to_json(), self.cfg.pk_columns, keep_lsn)
+        return ray.data.from_items(items).map_batches(
+            merger, batch_format="pyarrow", batch_size=1
+        )
+
+    def state_pandas(self) -> pd.DataFrame:
+        df = self.read_state().to_pandas()
+        arrow = self.final_schema().to_arrow()
+        if df.empty:  # Ray's to_pandas drops columns on empty datasets
+            df = arrow.empty_table().to_pandas()
+        for name, typ in zip(arrow.names, arrow.types):
+            if pa.types.is_integer(typ):
+                df[name] = df[name].astype("Int64")
+        pk = list(self.cfg.pk_columns)
+        return df.sort_values(pk).reset_index(drop=True)
+
+    def compact(self) -> pd.DataFrame:
+        """Fold all deltas into per-partition base files (parallel tasks)."""
+        dirs = lake_partition_dirs(self.cfg.lake_dir)
+        items = [{"part_dir": d} for d in dirs]
+        compactor = LakeCompactor(self.final_schema().to_json(), self.cfg.pk_columns)
+        return (
+            ray.data.from_items(items)
+            .map_batches(compactor, batch_format="pyarrow", batch_size=1)
+            .to_pandas()
+        )
+
+    # --------------------------------------------------------------- lineage
+    def lineage(self) -> dict:
+        """Aggregated per-partition lineage/metrics from the checkpoint store.
+
+        The analog of Canal's Prometheus collectors
+        (``prometheus/.../impl/{Entry,Store,Sink,Parser}Collector.java`` —
+        canal_instance_put_rows / ack_rows / get_delay ...).
+        """
+        parts = {}
+        for d in lake_partition_dirs(self.cfg.lake_dir):
+            pid = int(os.path.basename(d)[1:])
+            ckpts = self.store.partition_checkpoints(pid)
+            if not ckpts:
+                continue
+            hot: dict[str, int] = {}
+            for c in ckpts:
+                for k, v in c.get("hot_keys", {}).items():
+                    hot[k] = hot.get(k, 0) + v
+            top = dict(sorted(hot.items(), key=lambda kv: -kv[1])[: self.cfg.hot_key_top_n])
+            parts[pid] = {
+                "epochs": [c["epoch"] for c in ckpts],
+                "events_applied": sum(c["events"] for c in ckpts),
+                "inserts": sum(c.get("inserts", 0) for c in ckpts),
+                "updates": sum(c.get("updates", 0) for c in ckpts),
+                "deletes": sum(c.get("deletes", 0) for c in ckpts),
+                "ddls": max((c.get("ddls", 0) for c in ckpts), default=0),
+                "lsn_range": [
+                    min(c["lsn_min"] for c in ckpts),
+                    max(c["lsn_max"] for c in ckpts),
+                ],
+                "hot_keys": top,
+            }
+        events = [p["events_applied"] for p in parts.values()] or [0]
+        return {
+            "partitions": parts,
+            "total_events_applied": int(sum(events)),
+            "skew": {
+                "max_partition_events": int(max(events)),
+                "min_partition_events": int(min(events)),
+                "mean_partition_events": float(np.mean(events)),
+            },
+        }

@@ -1,0 +1,80 @@
+"""Generator determinism + log-schema invariants (no Ray needed)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from canal_ray.ddl import TableSchema, parse_ddl
+from canal_ray.loggen import LOG_SCHEMA, generate_fixture, segment_paths
+
+
+def test_fixture_deterministic(tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    ma = generate_fixture(a, n_base=200, n_events=2_000, n_segments=2, seed=3)
+    mb = generate_fixture(b, n_base=200, n_events=2_000, n_segments=2, seed=3)
+    assert ma["last_lsn"] == mb["last_lsn"] == 2_000
+    for sa, sb in zip(segment_paths(a), segment_paths(b)):
+        ta, tb = pq.read_table(sa), pq.read_table(sb)
+        assert ta.equals(tb)
+    # idempotent reuse: same params -> no regeneration
+    m2 = generate_fixture(a, n_base=200, n_events=2_000, n_segments=2, seed=3)
+    assert m2["params"] == ma["params"]
+
+
+def test_log_schema_and_order(t1_fixture):
+    d, meta = t1_fixture
+    seen_lsn = 0
+    n_rows = 0
+    for seg in segment_paths(d):
+        t = pq.read_table(seg)
+        assert t.schema.equals(LOG_SCHEMA)
+        lsns = t["lsn"].to_numpy()
+        assert (np.diff(lsns) > 0).all()  # strictly increasing within segment
+        assert lsns[0] == seen_lsn + 1  # contiguous across segments
+        seen_lsn = int(lsns[-1])
+        n_rows += t.num_rows
+    assert n_rows == meta["params"]["n_events"]
+    assert os.path.exists(os.path.join(d, "base", "repos.parquet"))
+
+
+def test_op_mix_and_ddl(t1_fixture):
+    d, meta = t1_fixture
+    import pandas as pd
+
+    dfs = pd.concat([pq.read_table(s).to_pandas() for s in segment_paths(d)])
+    mix = dfs["op"].value_counts(normalize=True)
+    assert 0.25 < mix["INSERT"] < 0.50
+    assert 0.30 < mix["UPDATE"] < 0.55
+    assert 0.10 < mix["DELETE"] < 0.25
+    ddls = dfs[dfs["op"] == "DDL"]
+    assert len(ddls) == 3
+    assert set(ddls["lsn"].astype(str)) == set(meta["ddl_lsns"].keys())
+    # images after the ADD COLUMN ddl carry the new column
+    stars_lsn = min(int(k) for k in meta["ddl_lsns"])
+    post = dfs[(dfs["lsn"] > stars_lsn) & (dfs["op"].isin(["INSERT", "UPDATE"]))]
+    post_repos = post[post["table_name"] == "repos"]
+    assert post_repos["cols"].map(lambda c: "stars" in list(c)).all()
+    # noise rows exist for the unsubscribed table
+    assert (dfs["table_name"] == "audit").sum() > 0
+
+
+def test_ddl_parser_and_schema_evolution():
+    r = parse_ddl("ALTER TABLE mytest.repos ADD COLUMN stars INT NULL")
+    assert r is not None and r.kind == "ADD_COLUMN" and r.arrow_type == "int32"
+    s = TableSchema([("repo", "string"), ("path", "string")])
+    assert s.apply("ALTER TABLE mytest.repos ADD COLUMN stars INT NULL")
+    assert not s.apply("ALTER TABLE mytest.repos ADD COLUMN stars INT NULL")  # idempotent
+    assert s.apply("ALTER TABLE mytest.repos MODIFY COLUMN stars BIGINT")
+    assert dict(s.columns())["stars"] == "int64"
+    fp1 = s.fingerprint()
+    assert s.apply("ALTER TABLE mytest.repos ADD COLUMN license VARCHAR(64) NULL")
+    assert s.fingerprint() != fp1
+    # non-additive narrowing must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        s.apply("ALTER TABLE mytest.repos MODIFY COLUMN stars INT")
