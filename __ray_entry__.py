@@ -1,44 +1,48 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the operator inventory (SURVEY.md §2 + training-data
+ops); ``oracle_sql()`` the DuckDB equivalents where SQL can express the
+semantics. Column names and float rounding are kept identical on both sides.
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: CDC latest-state compaction over the sf0.001 events stream."""
+    from canal_ray.ops.relational import latest_events_by_user
+
+    return latest_events_by_user("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from canal_ray.ops import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- CDC semantics over the events change stream -----------------
+        "cdc_latest_state_by_user": R.latest_events_by_user,
+        "cdc_event_type_stats": R.event_type_stats,
+        "cdc_hourly_event_counts": R.hourly_event_counts,
+        "cdc_sessionize_users": R.sessionize_users,
+        # --- relational coverage ----------------------------------------
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_building_order_revenue": R.building_segment_order_revenue,
+        "supplier_balance_by_region": R.supplier_balance_by_region,
+        "order_priority_counts": R.order_priority_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from canal_ray.ops.oracles import RELATIONAL_SQL
+
+    return dict(RELATIONAL_SQL)

@@ -1,0 +1,110 @@
+"""DuckDB oracle SQL for the oracle-checkable queries.
+
+Column names and float rounding MUST mirror the Ray implementations — the
+driver sorts columns by name and value-hashes, so any alias or rounding
+drift is a correctness failure.
+"""
+
+RELATIONAL_SQL: dict[str, str] = {
+    "cdc_latest_state_by_user": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+    "cdc_event_type_stats": """
+        SELECT event_type,
+               count(*)               AS n,
+               round(sum(value), 4)   AS sum_value,
+               round(avg(value), 6)   AS avg_value,
+               round(min(value), 6)   AS min_value,
+               round(max(value), 6)   AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "cdc_hourly_event_counts": """
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               count(*)             AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "cdc_sessionize_users": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        ), sized AS (
+            SELECT user_id, session_id, count(*) AS sz
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               sum(sz)::BIGINT            AS n_events,
+               count(*)::BIGINT           AS n_sessions,
+               max(sz)::BIGINT            AS max_session_events
+        FROM sized GROUP BY user_id
+    """,
+    # Money arithmetic is done in exact int64 'cents' on both sides (see
+    # relational._cents): float sums are block-order-dependent in any
+    # distributed engine and TPC-H money lands on half-cent rounding
+    # boundaries, so exact integer sums are the only reproducible form.
+    "q1_pricing_summary": """
+        WITH scaled AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT)                        AS qty_i,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)      AS base_c,
+                   CAST(round(l_discount * 100) AS BIGINT)           AS disc_bp,
+                   CAST(round(l_tax * 100) AS BIGINT)                AS tax_bp
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(qty_i) AS DOUBLE)                            AS sum_qty,
+               sum(base_c) / 100.0                                   AS sum_base_price,
+               sum(base_c * (100 - disc_bp)) / 10000.0               AS sum_disc_price,
+               sum(base_c * (100 - disc_bp) * (100 + tax_bp)) / 1000000.0 AS sum_charge,
+               sum(qty_i) / CAST(count(*) AS DOUBLE)                 AS avg_qty,
+               sum(base_c) / 100.0 / CAST(count(*) AS DOUBLE)        AS avg_price,
+               sum(disc_bp) / 100.0 / CAST(count(*) AS DOUBLE)       AS avg_disc,
+               count(*)                                              AS count_order
+        FROM scaled
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_building_order_revenue": """
+        WITH rev AS (
+            SELECT l.l_orderkey AS o_orderkey,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+                       AS revenue,
+                   any_value(o.o_orderdate) AS o_orderdate
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+        )
+        SELECT o_orderkey, revenue, o_orderdate FROM rev WHERE revenue > 100000.0
+    """,
+    "supplier_balance_by_region": """
+        SELECT r.r_name,
+               count(*) AS n_suppliers,
+               sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+}

@@ -1,0 +1,278 @@
+"""Relational / CDC-flavored pipelines over the driver testdata tables.
+
+The ``events`` table is treated as a CDC change stream keyed by ``user_id``
+(the analog of the engine's binlog): latest-state compaction, changelog
+statistics, windowed and sessionized aggregates — each the Ray-Data-native
+form of semantics the reference engine guarantees operationally (per-key LWW
+apply, ordered consumption; SURVEY.md §2.8, §2.10).
+
+TPC-H-ish queries demonstrate the general relational surface: vectorized
+Arrow filters, pre-aggregated groupbys, and broadcast joins for small sides
+(``ray.put`` once, pandas merge per batch — never a shuffle join for a
+dimension table).
+
+Scale notes (100 TB discipline):
+  - every read passes ``columns=[...]`` (prune at the read);
+  - groupbys are preceded by per-batch partial reduction where the key
+    cardinality is far below the row count;
+  - float aggregates are rounded (util.round_columns) so results are
+    reproducible regardless of block combination order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from canal_ray.ops.util import keep_last, round_columns
+
+
+# ---------------------------------------------------------------------------
+# CDC-over-events: latest state per key (LWW compaction as a query)
+# ---------------------------------------------------------------------------
+
+def latest_events_by_user(sf_dir: str) -> pd.DataFrame:
+    """Last event per user by (ts, event_id) — groupby-free partial reduce
+    per batch, then one small grouped reduce (the CDC LWW compaction
+    semantics of ``canal_ray.sink.lww_compact`` expressed as a query)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    partial = lambda t: keep_last(t, ["user_id"], ["ts", "event_id"])  # noqa: E731
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("user_id").map_groups(partial, batch_format="pyarrow")
+    return out.to_pandas()
+
+
+def event_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Changelog statistics per op type (EntryCollector-style counters)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    df = out.to_pandas()
+    return round_columns(df, {"sum_value": 4, "avg_value": 6, "min_value": 6, "max_value": 6})
+
+
+def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h event-time window counts (streaming-window analog)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour")).drop_columns(["ts"])
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow")
+    out = ds.groupby(["hour", "event_type"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return round_columns(out.to_pandas(), {"sum_value": 4})
+
+
+def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows (gap-based) per user: ordered per-key processing via
+    ``groupby(key).map_groups`` over ts-sorted groups — the documented Ray
+    pattern for stream-shaped windows (no watermarks: the log is the clock,
+    SURVEY.md §2.10)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        brk = (g["ts"].diff() > gap).cumsum()
+        sizes = brk.groupby(brk).size()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(brk.iloc[-1]) + 1 if len(g) else 0],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    df = out.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["n_sessions"] = df["n_sessions"].astype("int64")
+    df["max_session_events"] = df["max_session_events"].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored relational coverage
+# ---------------------------------------------------------------------------
+
+def _cents(col: pa.ChunkedArray | pa.Array, scale: float = 100.0) -> pa.ChunkedArray:
+    """Exact integer scaling for 2-decimal money columns.
+
+    Float summation is order-dependent (Ray combines blocks in nondeterministic
+    order; DuckDB sums sequentially), and TPC-H money values constantly land on
+    half-cent rounding boundaries — so money aggregates are computed in exact
+    int64 'cents' on BOTH sides (the oracle SQL mirrors this) and divided back
+    at the end. Inputs are exact multiples of 0.01, so round() never sits on a
+    .5 boundary and half-even vs half-away cannot disagree.
+    """
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(scale))), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        base_c = _cents(t["l_extendedprice"])
+        disc_bp = _cents(t["l_discount"])  # 0..100 basis points of 0.01
+        tax_bp = _cents(t["l_tax"])
+        disc_s = pc.multiply(base_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_bp))
+        charge_s = pc.multiply(disc_s, pc.add(pa.scalar(100, type=pa.int64()), tax_bp))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_i": qty,
+                "base_c": base_c,
+                "disc_bp": disc_bp,
+                "disc_s": disc_s,
+                "charge_s": charge_s,
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_i", alias_name="sum_qty_i"),
+        Sum("base_c", alias_name="sum_base_c"),
+        Sum("disc_s", alias_name="sum_disc_s"),
+        Sum("charge_s", alias_name="sum_charge_s"),
+        Sum("disc_bp", alias_name="sum_disc_bp"),
+        Count(alias_name="count_order"),
+    )
+    df = out.to_pandas()
+    n = df["count_order"].astype("float64")
+    df["sum_qty"] = df["sum_qty_i"].astype("float64")
+    df["sum_base_price"] = df["sum_base_c"] / 100.0
+    df["sum_disc_price"] = df["sum_disc_s"] / 10_000.0
+    df["sum_charge"] = df["sum_charge_s"] / 1_000_000.0
+    df["avg_qty"] = df["sum_qty_i"] / n
+    df["avg_price"] = df["sum_base_c"] / 100.0 / n
+    df["avg_disc"] = df["sum_disc_bp"] / 100.0 / n
+    return df[
+        [
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order",
+        ]
+    ]
+
+
+def building_segment_order_revenue(sf_dir: str, threshold: float = 100_000.0) -> pd.DataFrame:
+    """Q3-flavored: revenue per order for BUILDING-segment customers above a
+    revenue threshold — broadcast join of the two small sides (orders,
+    customer) into the lineitem scan; only the per-order pre-aggregated
+    partials shuffle."""
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    side = orders.merge(
+        cust[cust["c_mktsegment"] == "BUILDING"],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )[["o_orderkey", "o_orderdate"]]
+    side_ref = ray.put(side.set_index("o_orderkey"))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        lookup = ray.get(side_ref)
+        rev_s = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, type=pa.int64()), _cents(t["l_discount"])),
+        )
+        df = pd.DataFrame(
+            {"o_orderkey": t["l_orderkey"].to_numpy(), "rev_s": rev_s.to_numpy()}
+        )
+        df = df[df["o_orderkey"].isin(lookup.index)]
+        part = df.groupby("o_orderkey", as_index=False)["rev_s"].sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.map_batches(per_batch, batch_format="pyarrow")
+    rev = partials.groupby("o_orderkey").aggregate(Sum("rev_s", alias_name="rev_s"))
+    df = rev.to_pandas()
+    df["revenue"] = df["rev_s"] / 10_000.0  # exact int -> identical double
+    df = df[df["revenue"] > threshold].drop(columns=["rev_s"])
+    lookup = side.set_index("o_orderkey")
+    df["o_orderdate"] = df["o_orderkey"].map(lookup["o_orderdate"])
+    return df.reset_index(drop=True)
+
+
+def supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
+    """Broadcast snowflake join supplier->nation->region + rollup."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    key_to_region = dict(zip(n2r["n_nationkey"], n2r["r_name"]))
+    ref = ray.put(key_to_region)
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        mapping = ray.get(ref)
+        df = pd.DataFrame(
+            {
+                "r_name": pd.Series(t["s_nationkey"].to_numpy()).map(mapping),
+                "bal_c": _cents(t["s_acctbal"]).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="bal_c"))
+    )
+    df = out.to_pandas()
+    df["total_acctbal"] = df["bal_c"] / 100.0
+    return df.drop(columns=["bal_c"])
+
+
+def order_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """Filtered grouped count (Q4 flavor, no join needed at this shape)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_orderstatus"],
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1994-01-01"))),
+            pc.equal(t["o_orderstatus"], pa.scalar("F")),
+        )
+        return t.filter(m).drop_columns(["o_orderdate", "o_orderstatus"])
+
+    out = ds.map_batches(filt, batch_format="pyarrow").groupby("o_orderpriority").aggregate(
+        Count(alias_name="n")
+    )
+    return out.to_pandas()

@@ -1,0 +1,33 @@
+"""Shared vectorized helpers for the ops modules."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def keep_last(table: pa.Table, keys: list[str], order: list[str]) -> pa.Table:
+    """Keep the max-``order`` row per ``keys`` (vectorized LWW combiner).
+
+    Sorts ascending by ``order`` then keeps the last row per key — the same
+    primitive the CDC sink uses for LWW compaction, reused as the per-batch
+    partial reduce so the global shuffle only moves one row per key per block.
+    """
+    if table.num_rows == 0:
+        return table
+    idx = pc.sort_indices(table, sort_keys=[(c, "ascending") for c in order])
+    table = table.take(idx)
+    df = pd.DataFrame({k: table[k].to_numpy(zero_copy_only=False) for k in keys})
+    mask = ~df.duplicated(keep="last").to_numpy()
+    return table.filter(pa.array(mask))
+
+
+def round_columns(df: pd.DataFrame, decimals: dict[str, int]) -> pd.DataFrame:
+    """Round float aggregate columns so Ray's block-order-dependent float
+    summation and DuckDB's sequential summation hash identically."""
+    for c, d in decimals.items():
+        if c in df.columns:
+            df[c] = np.round(df[c].astype("float64"), d)
+    return df
