@@ -26,7 +26,10 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from canal_ray.ops import ann as A
+    from canal_ray.ops import dedup as D
     from canal_ray.ops import relational as R
+    from canal_ray.ops import text as T
 
     return {
         # --- CDC semantics over the events change stream -----------------
@@ -39,10 +42,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_building_order_revenue": R.building_segment_order_revenue,
         "supplier_balance_by_region": R.supplier_balance_by_region,
         "order_priority_counts": R.order_priority_counts,
+        # --- deduplication (training-data pipeline) ----------------------
+        "doc_exact_dedup": D.exact_dedup,
+        "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only
+        "doc_minhash_dedup_keep": D.minhash_dedup_keep,  # rows-only
+        "doc_simhash": D.simhash_docs,  # rows-only
+        "embedding_neardup_pairs": D.embedding_neardup_pairs,
+        # --- text analysis ----------------------------------------------
+        "doc_token_stats": T.token_stats,
+        "doc_quality_flags": T.quality_flags,
+        "doc_lang_id": T.lang_id,  # rows-only (heuristic)
+        "doc_fingerprints": T.doc_fingerprints,  # rows-only
+        # --- similarity search ------------------------------------------
+        "ann_cosine_topk": A.ann_cosine_topk,
+        "ann_lsh_topk": A.ann_lsh_topk,  # rows-only (approximate)
+        "label_centroid_norms": A.label_centroid_norms,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from canal_ray.ops.oracles import RELATIONAL_SQL
+    from canal_ray.ops.oracles import RELATIONAL_SQL, TRAINING_SQL
 
-    return dict(RELATIONAL_SQL)
+    return {**RELATIONAL_SQL, **TRAINING_SQL}

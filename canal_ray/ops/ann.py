@@ -1,0 +1,187 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Brute-force cosine top-k is the exact baseline: the query matrix is broadcast
+once (``ray.put``), every batch does one numpy matmul + per-query partial
+top-k, and the tiny partials reduce in a final grouped top-k — no shuffle of
+the embedding corpus itself. The LSH-bucketed variant is the scale path:
+random-hyperplane signatures bound each query's candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _matrix(series: pd.Series) -> np.ndarray:
+    M = np.stack(series.to_numpy()).astype(np.float64)
+    return M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = q[q["vec_id"] < n_queries].sort_values("vec_id")
+    return q["vec_id"].to_numpy(), _matrix(q["embedding"])
+
+
+class BruteForceScorer:
+    """Actor-pool stage: per-batch cosine scores + per-query partial top-k.
+
+    The broadcast query matrix is fetched once per actor in ``__init__``.
+    """
+
+    def __init__(self, query_ref, k: int):
+        self.qids, self.Q = ray.get(query_ref)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        M = _matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy()
+        S = self.Q @ M.T  # (n_q, b)
+        k = min(self.k + 1, S.shape[1])  # +1 to survive dropping self-matches
+        part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        rows = {
+            "query_id": np.repeat(self.qids, k),
+            "vec_id": ids[part].ravel(),
+            "score": np.take_along_axis(S, part, axis=1).ravel(),
+        }
+        df = pd.DataFrame(rows)
+        return df[df["query_id"] != df["vec_id"]]
+
+
+def ann_cosine_topk(sf_dir: str, k: int = 10, n_queries: int = 8) -> pd.DataFrame:
+    """Exact cosine top-k per query; output (query_id, vec_id, rank)."""
+    query_ref = ray.put(_load_queries(sf_dir, n_queries))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(query_ref, k),
+        batch_format="pandas",
+        concurrency=2,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    df = out.to_pandas()
+    return df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+
+
+# --- LSH-bucketed variant (the 100 TB path) --------------------------------
+
+_N_PLANES = 6
+_PLANES_SEED = 777
+
+
+def _signatures(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (M @ planes.T) > 0
+    return bits @ (1 << np.arange(_N_PLANES))
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 8, probes: int = 2) -> pd.DataFrame:
+    """Random-hyperplane LSH ANN: score only vectors whose signature is
+    within ``probes`` bit flips of the query signature (multi-probe).
+
+    Recall is traded for candidate-set size; tests assert overlap with the
+    exact baseline (near-random test embeddings have weak locality, so the
+    plane count is small and multiprobe wide). Bucketing is a plain int
+    column — at scale the candidate restriction happens with a bucket
+    groupby co-partitioning corpus and queries instead of the per-batch
+    mask used here.
+    """
+    from itertools import combinations
+
+    qids, Q = _load_queries(sf_dir, n_queries)
+    rng = np.random.default_rng(_PLANES_SEED)
+    d = Q.shape[1]
+    planes = rng.standard_normal((_N_PLANES, d))
+    qsig = _signatures(Q, planes)
+    # multiprobe: all signatures within `probes` Hamming distance
+    allowed = [set([int(s)]) for s in qsig]
+    for i, s in enumerate(qsig):
+        for r in range(1, probes + 1):
+            for flips in combinations(range(_N_PLANES), r):
+                m = 0
+                for b in flips:
+                    m |= 1 << b
+                allowed[i].add(int(s) ^ m)
+    ref = ray.put((qids, Q, planes, [np.array(sorted(a)) for a in allowed]))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        _qids, _Q, _planes, _allowed = ray.get(ref)
+        M = _matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy()
+        sig = _signatures(M, _planes)
+        frames = []
+        for qi, qid in enumerate(_qids):
+            mask = np.isin(sig, _allowed[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            S = _Q[qi] @ M[mask].T
+            frames.append(
+                pd.DataFrame({"query_id": qid, "vec_id": ids[mask], "score": S})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(per_batch, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    df = out.to_pandas()
+    return df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+
+
+def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid L2 norms — grouped vector aggregate via per-batch
+    partial sums (one (label, sumvec, n) row per label per batch)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        lab = b["label"].to_numpy()
+        out = []
+        for l in np.unique(lab):
+            m = lab == l
+            out.append({"label": int(l), "sumvec": M[m].sum(axis=0), "n": int(m.sum())})
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vec = np.stack(g["sumvec"].to_numpy()).sum(axis=0)
+        n = int(g["n"].sum())
+        return pd.DataFrame(
+            {
+                "label": [int(g["label"].iloc[0])],
+                "n": [n],
+                "centroid_norm": [float(np.linalg.norm(vec / n))],
+            }
+        )
+
+    df = parts.groupby("label").map_groups(merge, batch_format="pandas").to_pandas()
+    df["label"] = df["label"].astype("int32")
+    df["n"] = df["n"].astype("int64")
+    df["centroid_norm"] = np.round(df["centroid_norm"], 6)
+    return df

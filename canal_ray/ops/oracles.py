@@ -108,3 +108,81 @@ RELATIONAL_SQL: dict[str, str] = {
         GROUP BY o_orderpriority
     """,
 }
+
+TRAINING_SQL: dict[str, str] = {
+    "doc_exact_dedup": """
+        SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "doc_token_stats": """
+        WITH toks AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               len(t)::BIGINT AS n_tokens,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / len(t) AS mean_token_len,
+               CAST(len(list_filter(t, x -> x IN
+                        ('a', 'the', 'key', 'row', 'value', 'table'))) AS DOUBLE)
+                   / len(t) AS stopword_ratio
+        FROM toks
+    """,
+    "doc_quality_flags": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(t)::BIGINT AS n_tokens,
+                   CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                       / len(t) AS mtl,
+                   len(list_filter(t, x -> x IN
+                        ('a', 'the', 'key', 'row', 'value', 'table'))) AS n_stop
+            FROM toks
+        )
+        SELECT doc_id,
+               (n_tokens >= 10 AND n_tokens <= 10000) AS len_ok,
+               (mtl >= 2.0 AND mtl <= 12.0)           AS token_len_ok,
+               (n_stop > 0)                           AS has_stopwords
+        FROM s
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 8
+        )
+        SELECT query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                            e.vec_id
+               ) AS rank
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+        QUALIFY rank <= 10
+    """,
+    "embedding_neardup_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+    """,
+    "label_centroid_norms": """
+        WITH dims AS (
+            SELECT label, i, sum(v) AS s
+            FROM (
+                SELECT label,
+                       unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+            GROUP BY label, i
+        ), cnt AS (
+            SELECT label, count(*) AS n FROM embeddings GROUP BY label
+        )
+        SELECT c.label, c.n,
+               round(sqrt(sum((d.s / c.n) * (d.s / c.n))), 6) AS centroid_norm
+        FROM dims d JOIN cnt c USING (label)
+        GROUP BY c.label, c.n
+    """,
+}

@@ -1,0 +1,142 @@
+"""Text analysis ops over the ``documents`` table (training-data pipeline).
+
+Language-ID, quality scoring, token counting and document fingerprinting as
+vectorized Ray Data stages. Stateful pieces (compiled regexes, stopword
+tables, language profiles) live in callable-class actor pools — built once
+per actor in ``__init__``, applied per batch in ``__call__`` (the actor-pool
+contract of SURVEY.md §2.4: Canal's analog is per-connection caches like
+``parse/.../dbsync/TableMetaCache.java``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+# shared with the SQL oracle — keep lists identical
+STOPWORDS = ("a", "the", "key", "row", "value", "table")
+
+
+class TokenStats:
+    """Actor-pool stage: token statistics per document (vectorized pandas)."""
+
+    def __init__(self):
+        self.stop = frozenset(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.strip().str.split()
+        n_tokens = toks.str.len().astype("int64")
+        tok_chars = toks.map(lambda ws: sum(len(w) for w in ws))
+        n_stop = toks.map(lambda ws: sum(w in self.stop for w in ws))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["text"].str.len().astype("int64"),
+                "n_tokens": n_tokens,
+                "mean_token_len": tok_chars / n_tokens,
+                "stopword_ratio": n_stop / n_tokens,
+            }
+        )
+
+
+def token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(TokenStats, batch_format="pandas", concurrency=2).to_pandas()
+
+
+def quality_flags(sf_dir: str) -> pd.DataFrame:
+    """Boolean quality gates (C4/Gopher-style heuristics, public recipes):
+    length bounds, token-length sanity, stopword presence."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Flags(TokenStats):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            s = super().__call__(batch)
+            return pd.DataFrame(
+                {
+                    "doc_id": s["doc_id"],
+                    "len_ok": (s["n_tokens"] >= 10) & (s["n_tokens"] <= 10_000),
+                    "token_len_ok": (s["mean_token_len"] >= 2.0) & (s["mean_token_len"] <= 12.0),
+                    "has_stopwords": s["stopword_ratio"] > 0.0,
+                }
+            )
+
+    return ds.map_batches(Flags, batch_format="pandas", concurrency=2).to_pandas()
+
+
+# deterministic per-language stopword profiles (public-knowledge heuristic;
+# the corpus vocabulary is English-ish so 'en' should dominate)
+_LANG_PROFILES = {
+    "en": {"the", "a", "of", "to", "and", "in", "value", "table", "row", "key"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit"},
+    "fr": {"le", "la", "les", "et", "un", "une", "est", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "para"},
+}
+
+
+class LangId:
+    """Actor-pool language-ID: stopword-profile hit-rate argmax."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split()
+        scores = {
+            lang: toks.map(lambda ws, p=prof: sum(w in p for w in ws) / max(1, len(ws)))
+            for lang, prof in self.profiles.items()
+        }
+        sc = pd.DataFrame(scores)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": sc.idxmax(axis=1),
+                "lang_score": sc.max(axis=1),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
+
+
+class Fingerprinter:
+    """Rolling-hash (Rabin-Karp) winnowing fingerprint per document.
+
+    Deterministic 63-bit fingerprint = min over windowed rolling hashes of the
+    token-hash sequence (winnowing, Schleimer et al. 2003 — public algorithm).
+    """
+
+    B = np.uint64(1_000_003)
+    MASK = np.uint64((1 << 63) - 1)
+
+    def __init__(self, window: int = 4):
+        self.window = window
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w = self.window
+        fps = np.zeros(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"].tolist()):
+            toks = text.split()
+            h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+            if len(h) < w:
+                roll = h if len(h) else np.array([np.uint64(0)])
+            else:
+                # vectorized rolling hash over windows of w token hashes
+                roll = np.zeros(len(h) - w + 1, dtype=np.uint64)
+                acc = np.zeros(len(h) - w + 1, dtype=np.uint64)
+                for j in range(w):
+                    acc = (acc * self.B + h[j : len(h) - w + 1 + j]) & self.MASK
+                roll = acc
+            fps[i] = int(roll.min() & self.MASK)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        Fingerprinter, batch_format="pandas", concurrency=2
+    ).to_pandas()

@@ -1,0 +1,103 @@
+"""Behavioral tests for the approximate (non-SQL-expressible) ops:
+MinHash+LSH near-dup detection, SimHash, LSH-ANN recall, fingerprints,
+language-ID — against a corpus with planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_docs(tmp_path_factory):
+    """documents.parquet with exact dups, near dups and distinct docs."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    doc_id = 0
+    base_texts = []
+    for i in range(40):  # distinct base docs
+        toks = rng.choice(vocab, size=60, replace=True).tolist()
+        base_texts.append(" ".join(toks))
+        rows.append({"doc_id": doc_id, "text": base_texts[-1]}); doc_id += 1
+    # exact duplicates of the first 5
+    for i in range(5):
+        rows.append({"doc_id": doc_id, "text": base_texts[i]}); doc_id += 1
+    # near duplicates: change 3 of 60 tokens of docs 5..9
+    for i in range(5, 10):
+        toks = base_texts[i].split()
+        for j in (7, 23, 41):
+            toks[j] = "CHANGED" + str(j)
+        rows.append({"doc_id": doc_id, "text": " ".join(toks)}); doc_id += 1
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "synth"; df["n_chars"] = df["text"].str.len()
+    d = tmp_path_factory.mktemp("planted")
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_minhash_finds_planted_dups(ray_session, planted_docs):
+    from canal_ray.ops.dedup import minhash_dedup_keep, minhash_lsh_dup_pairs
+
+    pairs = minhash_lsh_dup_pairs(planted_docs, jaccard_threshold=0.5)
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    # 5 exact dup pairs (i, 40+i) and 5 near-dup pairs (i, 45+i-5)
+    for i in range(5):
+        assert (i, 40 + i) in found, f"exact dup {i} missed"
+        assert pairs[(pairs.doc_a == i) & (pairs.doc_b == 40 + i)]["jaccard"].iloc[0] == 1.0
+    for i in range(5, 10):
+        assert (i, 45 + i - 5) in found, f"near dup {i} missed"
+    keep = minhash_dedup_keep(planted_docs, jaccard_threshold=0.5)
+    assert keep[keep.doc_id == 41]["dup_of"].iloc[0] == 1
+    assert not keep[keep.doc_id == 12]["is_dup"].iloc[0]
+    assert int(keep["is_dup"].sum()) == 10
+
+
+def test_simhash_near_dups_close(ray_session, planted_docs):
+    from canal_ray.ops.dedup import simhash_docs
+
+    df = simhash_docs(planted_docs).set_index("doc_id")["simhash"]
+
+    def hamming(a, b):
+        return bin((int(a) & (2**64 - 1)) ^ (int(b) & (2**64 - 1))).count("1")
+
+    for i in range(5):
+        assert hamming(df[i], df[40 + i]) == 0  # exact dup -> same simhash
+    near = [hamming(df[i], df[45 + i - 5]) for i in range(5, 10)]
+    far = [hamming(df[0], df[j]) for j in range(20, 30)]
+    assert max(near) < min(far), f"near {near} not separated from far {far}"
+
+
+def test_lsh_ann_overlaps_bruteforce(ray_session):
+    from canal_ray.ops.ann import ann_cosine_topk, ann_lsh_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact = ann_cosine_topk(sf)
+    approx = ann_lsh_topk(sf)
+    recall = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(approx[approx.query_id == q]["vec_id"])
+        recall.append(len(e & a) / len(e))
+    assert np.mean(recall) > 0.2, f"LSH recall too low: {recall}"
+    assert len(approx) <= len(exact)
+
+
+def test_fingerprint_stability(ray_session, planted_docs):
+    from canal_ray.ops.text import doc_fingerprints
+
+    a = doc_fingerprints(planted_docs).set_index("doc_id")["fingerprint"]
+    b = doc_fingerprints(planted_docs).set_index("doc_id")["fingerprint"]
+    pd.testing.assert_series_equal(a, b)  # deterministic
+    for i in range(5):
+        assert a[i] == a[40 + i]  # exact dups share fingerprints
+
+
+def test_lang_id_shape(ray_session):
+    from canal_ray.ops.text import lang_id
+
+    df = lang_id("/root/testdata/sf0.01")
+    assert set(df.columns) == {"doc_id", "lang_pred", "lang_score"}
+    assert len(df) == 500
+    assert (df["lang_pred"] == "en").mean() > 0.8  # corpus is English-ish

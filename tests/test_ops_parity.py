@@ -60,6 +60,12 @@ def assert_parity(ray_df, sql: str):
         "q3_building_order_revenue",
         "supplier_balance_by_region",
         "order_priority_counts",
+        "doc_exact_dedup",
+        "doc_token_stats",
+        "doc_quality_flags",
+        "ann_cosine_topk",
+        "embedding_neardup_pairs",
+        "label_centroid_norms",
     ],
 )
 def test_relational_parity(ray_session, name):
