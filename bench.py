@@ -1,0 +1,186 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Headline: CDC replay — events/sec applied to the Parquet lake over a
+deterministic synthetic binlog (the BASELINE.json metric), plus wall-times of
+representative queries over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "cdc": {...events/s detail...}}
+
+``--scaling``: runs the same workload in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` (the sandbox proxy for the N vs 4N node
+cluster criterion) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROOT = "/tmp/canal_ray_bench"
+# bench-scale fixture (cached across runs; regenerated only if params change)
+FIXTURE_PARAMS = dict(
+    n_base=100_000,
+    n_events=2_000_000,
+    n_segments=16,
+    seed=101,
+    content_scale=160.0,
+)
+
+
+def _fixture_dir() -> str:
+    return os.path.join(BENCH_ROOT, "fixture")
+
+
+def ensure_fixture() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from canal_ray.loggen import generate_fixture
+
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    t0 = time.perf_counter()
+    meta = generate_fixture(_fixture_dir(), **FIXTURE_PARAMS)
+    gen_s = time.perf_counter() - t0
+    if gen_s > 1.0:
+        print(f"[bench] fixture generated in {gen_s:.1f}s", file=sys.stderr)
+    return meta
+
+
+def warm_cache() -> None:
+    """One untimed read so both scaling runs measure compute, not cold disk."""
+    import pyarrow.parquet as pq
+
+    from canal_ray.loggen import segment_paths
+
+    for p in segment_paths(_fixture_dir()):
+        pq.read_table(p, columns=["lsn"])
+
+
+def run_cdc_replay(num_cpus: int) -> dict:
+    from canal_ray import CdcConfig, CdcJob
+
+    lake = os.path.join(BENCH_ROOT, f"lake_{num_cpus}")
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = CdcConfig(
+        log_dir=os.path.join(_fixture_dir(), "binlog"),
+        lake_dir=lake,
+        base_table=os.path.join(_fixture_dir(), "base", "repos.parquet"),
+        num_partitions=32,
+        epoch_segments=4,
+    )
+    t0 = time.perf_counter()
+    report = CdcJob(cfg).run()
+    wall = time.perf_counter() - t0
+    n_events = FIXTURE_PARAMS["n_events"] + FIXTURE_PARAMS["n_base"]
+    return {
+        "sec": round(wall, 3),
+        "events_total": n_events,
+        "events_per_sec": round(n_events / wall, 1),
+        "epochs": report["last_epoch"] + 1,
+    }
+
+
+QUERY_NAMES = [
+    "cdc_latest_state_by_user",
+    "cdc_sessionize_users",
+    "q1_pricing_summary",
+    "q3_building_order_revenue",
+    "doc_exact_dedup",
+    "doc_minhash_dup_pairs",
+    "ann_cosine_topk",
+]
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        qs[name](sf_dir)
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    ensure_fixture()
+    warm_cache()
+    cdc = run_cdc_replay(num_cpus)
+    qtimes = run_queries(sf_dir)
+    queries = {"cdc_replay": cdc["sec"], **qtimes}
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_query_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+                "cdc": cdc,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, two fresh processes, 8 vs 32 CPUs -> scaling efficiency."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["cdc"]["sec"]
+    t32 = results[32]["cdc"]["sec"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_scaling",
+                "sec_8": t8,
+                "sec_32": t32,
+                "events_per_sec_8": results[8]["cdc"]["events_per_sec"],
+                "events_per_sec_32": results[32]["cdc"]["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "suite_sec_8": results[8]["value"],
+                "suite_sec_32": results[32]["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
