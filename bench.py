@@ -71,7 +71,8 @@ def run_cdc_replay(num_cpus: int) -> dict:
         lake_dir=lake,
         base_table=os.path.join(_fixture_dir(), "base", "repos.parquet"),
         num_partitions=32,
-        epoch_segments=4,
+        epoch_segments=2,  # fine-grained ack points ...
+        epochs_per_cycle=8,  # ... batched through one shuffle per cycle
     )
     t0 = time.perf_counter()
     report = CdcJob(cfg).run()

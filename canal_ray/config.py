@@ -48,7 +48,11 @@ class CdcConfig:
     num_partitions: int = 32
 
     # --- epoching / batching ---------------------------------------------
-    epoch_segments: int = 4  # segments consumed per epoch (per "get" batch)
+    epoch_segments: int = 4  # segments consumed per epoch (per ack point)
+    # epochs batched through ONE shuffle per consumption cycle: amortizes the
+    # per-pipeline barrier while keeping per-epoch checkpoints/resume. The
+    # analog of serving several ack points from one getWithoutAck batch.
+    epochs_per_cycle: int = 4
     decode_batch_size: int = 32 * 1024  # rows per decode batch
 
     # --- behavior flags ---------------------------------------------------

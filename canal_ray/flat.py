@@ -1,0 +1,78 @@
+"""FlatMessage conversion — Canal's denormalized MQ JSON form.
+
+The analog of ``protocol/.../FlatMessage.java:13-31`` +
+``MQMessageUtils.messageConverter``: each decoded change event becomes a flat
+record ``{id, database, table, pkNames, isDdl, type, es, ts, sql, data, old}``
+with ``data`` as a column->string map (JSON-encoded here; values are already
+strings per the Canal transport contract).
+
+Implemented as a stateless vectorized ``map_batches`` over the decoded stream,
+so any pipeline (or an external consumer) can take the engine's decode output
+in the exact shape Canal's Kafka/RocketMQ consumers receive.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.int64()),  # lsn (batch id analog)
+        pa.field("database", pa.string()),
+        pa.field("table", pa.string()),
+        pa.field("pkNames", pa.list_(pa.string())),
+        pa.field("isDdl", pa.bool_()),
+        pa.field("type", pa.string()),  # INSERT/UPDATE/DELETE/DDL
+        pa.field("es", pa.int64()),  # source event time (ms)
+        pa.field("ts", pa.int64()),  # build time (ms) — deterministic: == es
+        pa.field("sql", pa.string()),
+        pa.field("data", pa.string()),  # JSON {col: strval} (after image)
+        pa.field("old", pa.string()),  # JSON {col: strval} (pk-only pre-image)
+    ]
+)
+
+
+def to_flat_messages(batch: pa.Table) -> pa.Table:
+    """Vectorized log-format -> FlatMessage-format conversion."""
+    n = batch.num_rows
+    ops = batch["op"].to_numpy(zero_copy_only=False)
+    cols = batch["cols"].to_pylist()
+    vals = batch["vals"].to_pylist()
+    pk_repo = batch["pk_repo"].to_numpy(zero_copy_only=False)
+    pk_path = batch["pk_path"].to_numpy(zero_copy_only=False)
+
+    data = np.full(n, None, dtype=object)
+    old = np.full(n, None, dtype=object)
+    for i in range(n):
+        if ops[i] in ("INSERT", "UPDATE") and cols[i] is not None:
+            data[i] = json.dumps(dict(zip(cols[i], vals[i])), sort_keys=True)
+        if ops[i] in ("UPDATE", "DELETE"):
+            old[i] = json.dumps({"repo": pk_repo[i], "path": pk_path[i]}, sort_keys=True)
+
+    es = pc.cast(pc.cast(batch["execute_time"], pa.int64()), pa.int64())
+    pk_names = pa.array([["repo", "path"]] * n, type=pa.list_(pa.string()))
+    return pa.table(
+        {
+            "id": batch["lsn"],
+            "database": batch["schema_name"],
+            "table": batch["table_name"],
+            "pkNames": pk_names,
+            "isDdl": pa.array(ops == "DDL"),
+            "type": batch["op"],
+            "es": es,
+            "ts": es,
+            "sql": batch["ddl_sql"],
+            "data": pa.array(list(data), type=pa.string()),
+            "old": pa.array(list(old), type=pa.string()),
+        },
+        schema=FLAT_SCHEMA,
+    )
+
+
+def flat_message_dataset(log_ds):
+    """Decoded log Dataset -> FlatMessage Dataset."""
+    return log_ds.map_batches(to_flat_messages, batch_format="pyarrow")

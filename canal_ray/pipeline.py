@@ -46,6 +46,20 @@ from canal_ray.loggen import EPOCH_MS, LOG_SCHEMA
 from canal_ray.sink import LakeCompactor, LakeMerger, lake_partition_dirs, make_applier
 
 
+def _segment_lsn_range(path: str) -> tuple[int, int]:
+    """(min, max) lsn of a segment from parquet row-group stats (no data read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index("lsn")
+    los, his = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        los.append(st.min)
+        his.append(st.max)
+    return min(los), max(his)
+
+
 def _base_to_log(batch: pa.Table, payload_names: list[str]) -> pa.Table:
     """Initial-snapshot rows -> lsn-0 INSERT events in the log wire format."""
     n = batch.num_rows
@@ -93,58 +107,62 @@ class CdcJob:
         return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
 
     def plan(self) -> list[tuple[int, list[str]]]:
-        """[(epoch, segment_paths)]; epoch 0 = bootstrap (empty path list)."""
+        """[(epoch, segment_paths)]; epoch 0 = bootstrap (empty path list).
+
+        Stable under tailing: an acked epoch's segment assignment is pinned by
+        its manifest (Canal: the ack cursor is immutable history); only
+        segments not covered by any manifest are chunked into new epochs —
+        so a partial final epoch acked during a tail never changes shape when
+        more segments arrive later.
+        """
         segs = self.segment_files()
-        k = max(1, self.cfg.epoch_segments)
         plan: list[tuple[int, list[str]]] = [(0, [])]
-        for i in range(0, len(segs), k):
-            plan.append((len(plan), segs[i : i + k]))
+        consumed: set[str] = set()
+        e = 1
+        while True:
+            m = self.store.read_epoch(e)
+            if m is None:
+                break
+            paths = [os.path.join(self.cfg.log_dir, b) for b in m["segments"]]
+            plan.append((e, paths))
+            consumed.update(m["segments"])
+            e += 1
+        new = [s for s in segs if os.path.basename(s) not in consumed]
+        k = max(1, self.cfg.epoch_segments)
+        for i in range(0, len(new), k):
+            plan.append((len(plan), new[i : i + k]))
         return plan
 
     # ------------------------------------------------------------------- run
     def run(self, max_epochs: int | None = None) -> dict:
-        """Consume all (or ``max_epochs``) un-acked epochs; resumable."""
+        """Consume all (or ``max_epochs``) un-acked epochs; resumable.
+
+        Epochs are batched ``epochs_per_cycle`` at a time through one
+        decode -> shuffle -> apply pipeline per cycle; the apply function
+        splits its group by epoch lsn range so every epoch still gets its own
+        fenced checkpoint (per-epoch resume is unchanged, driver barriers are
+        amortized).
+        """
         cfg = self.cfg
         plan = self.plan()
         last = self.store.last_complete_epoch()
         schema = self._schema_at(last)
         processed = 0
         total_events = 0
-        for epoch, segs in plan:
-            if epoch <= last:
-                continue
-            if max_epochs is not None and processed >= max_epochs:
-                break
-            if epoch == 0:
-                if cfg.base_table is None:
-                    self.store.write_epoch(0, self._manifest(0, [], schema, 0))
-                    processed += 1
-                    continue
-                payload = cfg.payload_columns()
-                ds = ray.data.read_parquet(cfg.base_table)
-                ds = ds.map_batches(
-                    lambda b, _names=payload: _base_to_log(b, _names),
-                    batch_format="pyarrow",
-                    batch_size=cfg.decode_batch_size,
-                )
+        pending = [(e, s) for e, s in plan if e > last]
+        if max_epochs is not None:
+            pending = pending[:max_epochs]
+
+        # bootstrap epoch runs as its own cycle (different source)
+        while pending:
+            if pending[0][0] == 0:
+                cycle = [pending.pop(0)]
             else:
-                ds = ray.data.read_parquet(segs)
-            ds = ds.map_batches(
-                make_decoder(cfg),
-                batch_format="pyarrow",
-                batch_size=cfg.decode_batch_size,
-            )
-            applier = make_applier(cfg, epoch, schema.to_json())
-            summaries = (
-                ds.groupby("partition_id")
-                .map_groups(applier, batch_format="pyarrow")
-                .take_all()
-            )
-            schema = self._advance_schema(schema, summaries)
-            events = int(sum(s["events"] for s in summaries))
+                k = max(1, cfg.epochs_per_cycle)
+                cycle, pending = pending[:k], pending[k:]
+            schema, events = self._run_cycle(cycle, schema)
             total_events += events
-            self.store.write_epoch(epoch, self._manifest(epoch, segs, schema, events))
-            processed += 1
+            processed += len(cycle)
         return {
             "epochs_processed": processed,
             "last_epoch": self.store.last_complete_epoch(),
@@ -152,6 +170,84 @@ class CdcJob:
             "schema": schema.to_json(),
             "schema_fingerprint": schema.fingerprint(),
         }
+
+    def run_follow(
+        self,
+        poll_interval_s: float = 0.5,
+        max_idle_polls: int = 3,
+        stop_file: str | None = None,
+    ) -> dict:
+        """Tail mode — the ``LocalBinLogConnection.needWait`` analog
+        (``parse/.../mysql/LocalBinLogConnection.java:31-260``): consume all
+        available epochs, then poll the log directory for new segments;
+        stop after ``max_idle_polls`` empty polls or when ``stop_file``
+        appears (the heartbeat/HA-controller stand-in for tests)."""
+        import time as _time
+
+        totals = {"epochs_processed": 0, "events": 0, "polls": 0}
+        idle = 0
+        while idle < max_idle_polls:
+            if stop_file is not None and os.path.exists(stop_file):
+                break
+            r = self.run()
+            totals["epochs_processed"] += r["epochs_processed"]
+            totals["events"] += r["events"]
+            totals["polls"] += 1
+            if r["epochs_processed"] == 0:
+                idle += 1
+                _time.sleep(poll_interval_s)
+            else:
+                idle = 0
+        totals["last_epoch"] = self.store.last_complete_epoch()
+        totals["schema"] = self.final_schema().to_json()
+        return totals
+
+    def _run_cycle(
+        self, cycle: list[tuple[int, list[str]]], schema: TableSchema
+    ) -> tuple[TableSchema, int]:
+        cfg = self.cfg
+        if cycle[0][0] == 0 and cfg.base_table is None:
+            self.store.write_epoch(0, self._manifest(0, [], schema, 0))
+            return schema, 0
+        if cycle[0][0] == 0:
+            payload = cfg.payload_columns()
+            ds = ray.data.read_parquet(cfg.base_table)
+            ds = ds.map_batches(
+                lambda b, _names=payload: _base_to_log(b, _names),
+                batch_format="pyarrow",
+                batch_size=cfg.decode_batch_size,
+            )
+            epoch_ranges = [(0, 0, 0)]
+        else:
+            all_segs = [s for _, segs in cycle for s in segs]
+            ds = ray.data.read_parquet(all_segs)
+            epoch_ranges = []
+            for epoch, segs in cycle:
+                los, his = zip(*(_segment_lsn_range(s) for s in segs))
+                epoch_ranges.append((epoch, min(los), max(his)))
+        ds = ds.map_batches(
+            make_decoder(cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.decode_batch_size,
+        )
+        applier = make_applier(cfg, epoch_ranges, schema.to_json())
+        summaries = (
+            ds.groupby("partition_id")
+            .map_groups(applier, batch_format="pyarrow")
+            .take_all()
+        )
+        # per-epoch: verify schema consistency, ack with a manifest (in order)
+        total_events = 0
+        by_epoch: dict[int, list[dict]] = {}
+        for s in summaries:
+            by_epoch.setdefault(int(s["epoch"]), []).append(s)
+        for epoch, segs in cycle:
+            ss = by_epoch.get(epoch, [])
+            schema = self._advance_schema(schema, ss)
+            events = int(sum(s["events"] for s in ss))
+            total_events += events
+            self.store.write_epoch(epoch, self._manifest(epoch, segs, schema, events))
+        return schema, total_events
 
     def _manifest(self, epoch: int, segs: list[str], schema: TableSchema, events: int) -> dict:
         return {

@@ -185,24 +185,47 @@ def conform(table: pa.Table, schema: TableSchema, *, with_meta: bool) -> pa.Tabl
 # ---------------------------------------------------------------------------
 
 def make_applier(
-    cfg: CdcConfig, epoch: int, start_schema_json: list[list[str]]
+    cfg: CdcConfig,
+    epoch_ranges: list[tuple[int, int, int]],
+    start_schema_json: list[list[str]],
 ) -> Callable[[pa.Table], pa.Table]:
+    """Build the per-group apply function for one consumption cycle.
+
+    ``epoch_ranges`` is ``[(epoch, lsn_lo, lsn_hi), ...]`` — a cycle may batch
+    several epochs through ONE shuffle (one ``getWithoutAck`` serving several
+    ack points); the group is split by lsn range so each epoch still gets its
+    own delta file + fenced checkpoint, preserving per-epoch resume.
+    """
     pk = cfg.pk_columns
     lake_dir = cfg.lake_dir
     hot_n = cfg.hot_key_top_n
     column_filter = cfg.column_filter
 
-    def apply_group(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return SUMMARY_SCHEMA.empty_table()
-        pid = int(group["partition_id"][0].as_py())
-        store = CheckpointStore(lake_dir)
+    def apply_epoch(
+        store: CheckpointStore,
+        pid: int,
+        epoch: int,
+        group: pa.Table,
+        schema: TableSchema,
+    ) -> dict:
+        """Apply one epoch's slice for one partition; returns its checkpoint.
+        Mutates ``schema`` (DDL replay carries into the next epoch slice)."""
         lsn_min = int(pc.min(group["lsn"]).as_py())
         lsn_max = int(pc.max(group["lsn"]).as_py())
 
-        # ---- offset fencing ------------------------------------------------
+        ops = group["op"].to_numpy(zero_copy_only=False)
+        # DDL replay must evolve the schema even on the fenced path so later
+        # epochs in this cycle start from the right schema
+        n_ddl = 0
+        for sql in group.filter(pa.array(ops == "DDL"))["ddl_sql"].to_pylist():
+            schema.apply(sql)
+            n_ddl += 1
+
+        # ---- offset fencing ---------------------------------------------
         existing = store.read_partition(pid, epoch)
-        delta_path = os.path.join(partition_dir(lake_dir, pid), f"delta_e{epoch:05d}.parquet")
+        delta_path = os.path.join(
+            partition_dir(lake_dir, pid), f"delta_e{epoch:05d}.parquet"
+        )
         if (
             existing is not None
             and existing.get("epoch") == epoch
@@ -210,22 +233,12 @@ def make_applier(
             and (existing.get("delta_rows", 0) == 0 or os.path.exists(delta_path))
         ):
             existing["skipped"] = True
-            return _summary_row(existing)
-
-        group = group.take(pc.sort_indices(group, sort_keys=[("lsn", "ascending")]))
-        ops = group["op"].to_numpy(zero_copy_only=False)
-
-        # ---- DDL replay: evolve this partition's schema in lsn order -------
-        schema = TableSchema.from_json(start_schema_json)
-        n_ddl = 0
-        for sql in group.filter(pa.array(ops == "DDL"))["ddl_sql"].to_pylist():
-            schema.apply(sql)
-            n_ddl += 1
+            return existing
 
         dml = group.filter(pa.array(ops != "DDL"))
         counts = pd.Series(dml["op"].to_numpy(zero_copy_only=False)).value_counts()
 
-        # ---- typed materialization + epoch-level LWW compaction ------------
+        # ---- typed materialization + epoch-level LWW compaction ----------
         typed = materialize_images(dml, schema, pk)
         if column_filter is not None:
             keep = [c for c in schema.names() if c in set(column_filter) | set(pk)]
@@ -236,7 +249,7 @@ def make_applier(
         if delta_rows:
             _atomic_write_parquet(delta, delta_path)
 
-        # ---- lineage: hot-key counters (repo level) ------------------------
+        # ---- lineage: hot-key counters (repo level) ----------------------
         hot: dict[str, int] = {}
         if dml.num_rows:
             vc = pd.Series(dml["pk_repo"].to_numpy(zero_copy_only=False)).value_counts()
@@ -259,7 +272,27 @@ def make_applier(
             "skipped": False,
         }
         store.write_partition(pid, epoch, ckpt)
-        return _summary_row(ckpt)
+        return ckpt
+
+    def apply_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return SUMMARY_SCHEMA.empty_table()
+        pid = int(group["partition_id"][0].as_py())
+        store = CheckpointStore(lake_dir)
+        group = group.take(pc.sort_indices(group, sort_keys=[("lsn", "ascending")]))
+        lsns = group["lsn"].to_numpy()
+
+        schema = TableSchema.from_json(start_schema_json)
+        out = []
+        for epoch, lo, hi in epoch_ranges:
+            mask = (lsns >= lo) & (lsns <= hi)
+            if not mask.any():
+                continue
+            sub = group.filter(pa.array(mask))
+            out.append(_summary_row(apply_epoch(store, pid, epoch, sub, schema)))
+        if not out:
+            return SUMMARY_SCHEMA.empty_table()
+        return pa.concat_tables(out)
 
     return apply_group
 
