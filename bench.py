@@ -26,9 +26,9 @@ import time
 BENCH_ROOT = "/tmp/canal_ray_bench"
 # bench-scale fixture (cached across runs; regenerated only if params change)
 FIXTURE_PARAMS = dict(
-    n_base=100_000,
-    n_events=2_000_000,
-    n_segments=16,
+    n_base=200_000,
+    n_events=8_000_000,
+    n_segments=32,
     seed=101,
     content_scale=160.0,
 )
@@ -52,13 +52,14 @@ def ensure_fixture() -> dict:
 
 
 def warm_cache() -> None:
-    """One untimed read so both scaling runs measure compute, not cold disk."""
+    """One untimed full read so both scaling runs measure compute + shuffle,
+    not cold disk (all columns — the wide content column dominates I/O)."""
     import pyarrow.parquet as pq
 
     from canal_ray.loggen import segment_paths
 
     for p in segment_paths(_fixture_dir()):
-        pq.read_table(p, columns=["lsn"])
+        pq.read_table(p)
 
 
 def run_cdc_replay(num_cpus: int) -> dict:
@@ -71,7 +72,7 @@ def run_cdc_replay(num_cpus: int) -> dict:
         lake_dir=lake,
         base_table=os.path.join(_fixture_dir(), "base", "repos.parquet"),
         num_partitions=32,
-        epoch_segments=2,  # fine-grained ack points ...
+        epoch_segments=4,  # fine-grained ack points ...
         epochs_per_cycle=8,  # ... batched through one shuffle per cycle
     )
     t0 = time.perf_counter()

@@ -61,20 +61,20 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
         if batch.num_rows == 0:
             return batch.append_column("partition_id", pa.array([], type=pa.int32()))
         # --- subscribe filter (schema.table regex, lowercased like Canal) ---
+        # dictionary-encode first: the regex runs once per distinct identity
+        # (a handful), not once per row
         ident = pc.binary_join_element_wise(
             pc.utf8_lower(batch["schema_name"]), pc.utf8_lower(batch["table_name"]), "."
         )
-        keep = np.ones(batch.num_rows, dtype=bool)
+        d = pc.dictionary_encode(ident).combine_chunks()
+        uniq = d.dictionary.to_pylist()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        per_uniq = np.ones(len(uniq), dtype=bool)
         if white is not None:
-            pat = f"^(?:{white.pattern})$"
-            keep &= pc.match_substring_regex(ident, pat, ignore_case=True).to_numpy(
-                zero_copy_only=False
-            )
+            per_uniq &= np.array([white.fullmatch(u) is not None for u in uniq])
         if black is not None:
-            pat = f"^(?:{black.pattern})$"
-            keep &= ~pc.match_substring_regex(ident, pat, ignore_case=True).to_numpy(
-                zero_copy_only=False
-            )
+            per_uniq &= np.array([black.fullmatch(u) is None for u in uniq])
+        keep = per_uniq[codes]
         ops = batch["op"].to_numpy(zero_copy_only=False)
         if drop_ops:
             keep &= ~np.isin(ops, list(drop_ops))

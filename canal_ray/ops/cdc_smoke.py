@@ -1,0 +1,42 @@
+"""CDC engine smoke pipeline exposed through the driver's queries() gate.
+
+Generates a small deterministic binlog fixture under /tmp, runs the full
+engine (bootstrap + replay + schema evolution + checkpoints), verifies the
+result against the sequential oracle in-process, and returns the final lake
+state. Rows-only at the driver (the fixture isn't a registered SQL view), but
+the oracle equality assert runs on every invocation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+_PARAMS = dict(n_base=2_000, n_events=20_000, n_segments=4, seed=77)
+
+
+def cdc_replay_smoke(sf_dir: str) -> pd.DataFrame:
+    from canal_ray.config import CdcConfig
+    from canal_ray.loggen import generate_fixture
+    from canal_ray.oracle import replay_oracle, state_digest
+    from canal_ray.pipeline import CdcJob
+
+    root = "/tmp/canal_ray_smoke"
+    fix = os.path.join(root, "fixture")
+    lake = os.path.join(root, "lake")
+    generate_fixture(fix, **_PARAMS)
+    cfg = CdcConfig(
+        log_dir=os.path.join(fix, "binlog"),
+        lake_dir=lake,
+        base_table=os.path.join(fix, "base", "repos.parquet"),
+        num_partitions=8,
+        epoch_segments=2,
+    )
+    job = CdcJob(cfg)
+    job.run()  # idempotent: a pre-existing complete lake is fully fenced
+    eng = job.state_pandas()
+    oracle_df, _ = replay_oracle(fix, list(cfg.initial_schema))
+    if state_digest(eng) != state_digest(oracle_df):  # hard gate, every call
+        raise AssertionError("CDC replay state diverged from sequential oracle")
+    return eng.drop(columns=["content"])  # keep the result driver-friendly

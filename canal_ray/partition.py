@@ -28,10 +28,18 @@ import numpy as np
 import pandas as pd
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix constant
+
+
 def partition_ids(repo: np.ndarray, path: np.ndarray, num_partitions: int) -> np.ndarray:
-    """Vectorized partition id for composite key (repo, path)."""
-    joined = np.char.add(
-        np.char.add(repo.astype(str), "\x00"), path.astype(str)
-    ).astype(object)
-    h = pd.util.hash_array(joined, categorize=False)
+    """Vectorized partition id for composite key (repo, path).
+
+    Hashes each key column independently (no per-row string concatenation —
+    ``np.char.add`` is a hidden Python loop) and mixes the two words; both
+    steps are deterministic across processes.
+    """
+    h1 = pd.util.hash_array(np.asarray(repo, dtype=object), categorize=True)
+    h2 = pd.util.hash_array(np.asarray(path, dtype=object), categorize=False)
+    with np.errstate(over="ignore"):
+        h = (h1 * _GOLDEN) ^ h2
     return (h % np.uint64(num_partitions)).astype(np.int32)

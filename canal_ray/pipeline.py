@@ -280,7 +280,14 @@ class CdcJob:
 
     # ----------------------------------------------------------------- state
     def final_schema(self) -> TableSchema:
-        return self._schema_at(self.store.last_complete_epoch())
+        """End-of-log schema, restricted to the column filter when one is set
+        (the lake never stores projected-away columns)."""
+        schema = self._schema_at(self.store.last_complete_epoch())
+        cf = self.cfg.column_filter
+        if cf is None:
+            return schema
+        keep = set(cf) | set(self.cfg.pk_columns)
+        return TableSchema([(n, t) for n, t in schema.columns() if n in keep])
 
     def read_state(self, keep_lsn: bool = False) -> "ray.data.Dataset":
         """The materialized lake as a Dataset (per-partition merge tasks)."""
@@ -344,6 +351,7 @@ class CdcJob:
                 "inserts": sum(c.get("inserts", 0) for c in ckpts),
                 "updates": sum(c.get("updates", 0) for c in ckpts),
                 "deletes": sum(c.get("deletes", 0) for c in ckpts),
+                "poison": sum(c.get("poison", 0) for c in ckpts),
                 "ddls": max((c.get("ddls", 0) for c in ckpts), default=0),
                 "lsn_range": [
                     min(c["lsn_min"] for c in ckpts),

@@ -86,8 +86,11 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
 # (LogEventConvert §1.2 type normalization + JdbcTypeUtil cast, vectorized)
 # ---------------------------------------------------------------------------
 
-def materialize_images(dml: pa.Table, schema: TableSchema, pk: tuple[str, str]) -> pa.Table:
-    """Typed payload table for DML rows (any mix of image widths + DELETEs).
+def materialize_images(
+    dml: pa.Table, schema: TableSchema, pk: tuple[str, str]
+) -> tuple[pa.Table, pa.Table | None]:
+    """Typed payload table for DML rows (any mix of image widths + DELETEs),
+    plus the quarantined poison rows (un-castable values) in wire format.
 
     Relies on the additive-evolution invariant: a row's ``cols`` list is a
     prefix of the final ordered column list, so the image *length* alone
@@ -103,6 +106,7 @@ def materialize_images(dml: pa.Table, schema: TableSchema, pk: tuple[str, str]) 
     )
 
     pieces: list[pa.Table] = []
+    poison_pieces: list[pa.Table] = []
     for length in np.unique(lengths):
         mask = lengths == length
         sub = dml.filter(pa.array(mask))
@@ -114,6 +118,28 @@ def materialize_images(dml: pa.Table, schema: TableSchema, pk: tuple[str, str]) 
                 raise ValueError(
                     f"image columns {first_cols} are not a prefix of schema {names}"
                 )
+        # poison detection: numeric columns whose string value can't cast.
+        # Canal's adapter ultimately ACKs past poison batches after retries
+        # (AdapterProcessor.java:162-241); deterministic replay can't retry
+        # its way out, so poison rows are quarantined instead of crashing
+        # the epoch, and surface in the checkpoint lineage.
+        bad = np.zeros(sub.num_rows, dtype=bool)
+        for j, name in enumerate(names):
+            typ = arrow_schema.field(name).type
+            if j < int(length) and not pa.types.is_string(typ):
+                raw = pc.list_element(sub["vals"], j)
+                pattern = (
+                    r"^-?\d+$"
+                    if pa.types.is_integer(typ)
+                    else r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+                )
+                ok = pc.fill_null(pc.match_substring_regex(raw, pattern), True)
+                bad |= ~ok.to_numpy(zero_copy_only=False)
+        if bad.any():
+            poison_pieces.append(sub.filter(pa.array(bad)))
+            sub = sub.filter(pa.array(~bad))
+            if sub.num_rows == 0:
+                continue
         for j, name in enumerate(names):
             typ = arrow_schema.field(name).type
             if j < length:
@@ -131,13 +157,14 @@ def materialize_images(dml: pa.Table, schema: TableSchema, pk: tuple[str, str]) 
         cols[META_LSN] = sub["lsn"].combine_chunks() if isinstance(sub["lsn"], pa.ChunkedArray) else sub["lsn"]
         cols[META_DELETED] = pa.array(sub_ops == "DELETE")
         pieces.append(pa.table(cols))
+    poison = pa.concat_tables(poison_pieces) if poison_pieces else None
     if not pieces:
         fields = list(arrow_schema) + [
             pa.field(META_LSN, pa.int64()),
             pa.field(META_DELETED, pa.bool_()),
         ]
-        return pa.schema(fields).empty_table()
-    return pa.concat_tables(pieces, promote_options="permissive")
+        return pa.schema(fields).empty_table(), poison
+    return pa.concat_tables(pieces, promote_options="permissive"), poison
 
 
 def lww_compact(table: pa.Table, pk: tuple[str, str]) -> pa.Table:
@@ -239,7 +266,12 @@ def make_applier(
         counts = pd.Series(dml["op"].to_numpy(zero_copy_only=False)).value_counts()
 
         # ---- typed materialization + epoch-level LWW compaction ----------
-        typed = materialize_images(dml, schema, pk)
+        typed, poison = materialize_images(dml, schema, pk)
+        if poison is not None:
+            qpath = os.path.join(
+                lake_dir, "_quarantine", f"p{pid:05d}_e{epoch:05d}.parquet"
+            )
+            _atomic_write_parquet(poison, qpath)
         if column_filter is not None:
             keep = [c for c in schema.names() if c in set(column_filter) | set(pk)]
             typed = typed.select(keep + [META_LSN, META_DELETED])
@@ -263,6 +295,7 @@ def make_applier(
             "updates": int(counts.get("UPDATE", 0)),
             "deletes": int(counts.get("DELETE", 0)),
             "ddls": n_ddl,
+            "poison": int(poison.num_rows) if poison is not None else 0,
             "delta_rows": int(delta_rows),
             "lsn_min": lsn_min,
             "lsn_max": lsn_max,

@@ -1,0 +1,81 @@
+"""Poison-event quarantine (skip-on-poison analog) and column-filter tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from canal_ray.config import CdcConfig
+from canal_ray.loggen import EPOCH_MS, LOG_SCHEMA, generate_fixture
+from canal_ray.oracle import replay_oracle, state_digest
+from canal_ray.pipeline import CdcJob
+
+
+def _inject_poison(fixture_dir: str, n_events: int) -> int:
+    """Append a segment containing one event with an un-castable stars value."""
+    seg_dir = os.path.join(fixture_dir, "binlog")
+    last = sorted(os.listdir(seg_dir))[-1]
+    idx = int(last.split("_")[1].split(".")[0]) + 1
+    lsn = n_events + 1
+    row = {
+        "lsn": lsn, "segment": idx, "txn_id": 10**6, "op": "UPDATE",
+        "schema_name": "mytest", "table_name": "repos",
+        "pk_repo": "org0/repo0", "pk_path": "src/m0/f0.py",
+        "cols": ["repo", "path", "commit", "lang", "content", "stars", "license"],
+        "vals": ["org0/repo0", "src/m0/f0.py", "c" * 40, "python", "x",
+                 "NOT_A_NUMBER", "mit"],
+        "ddl_sql": None, "execute_time": EPOCH_MS + lsn * 10,
+    }
+    good = dict(row, lsn=lsn + 1, pk_path="src/m0/f1.py",
+                vals=[v if v != "NOT_A_NUMBER" else "77" for v in row["vals"]])
+    good["vals"][1] = "src/m0/f1.py"
+    tbl = pa.Table.from_pylist([row, good], schema=LOG_SCHEMA)
+    pq.write_table(tbl, os.path.join(seg_dir, f"segment_{idx:05d}.parquet"))
+    return lsn
+
+
+def test_poison_rows_quarantined_not_fatal(ray_session, tmp_path):
+    d = str(tmp_path / "fix")
+    meta = generate_fixture(d, n_base=300, n_events=3_000, n_segments=3, seed=17)
+    poison_lsn = _inject_poison(d, meta["last_lsn"])
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=4, epoch_segments=2,
+    )
+    job = CdcJob(cfg)
+    job.run()  # must not raise
+    lin = job.lineage()
+    total_poison = sum(p["poison"] for p in lin["partitions"].values())
+    assert total_poison == 1
+    qfiles = glob.glob(f"{cfg.lake_dir}/_quarantine/*.parquet")
+    assert len(qfiles) == 1
+    q = pq.read_table(qfiles[0])
+    assert q.num_rows == 1 and q["lsn"][0].as_py() == poison_lsn
+    # the good event in the same segment still applied
+    eng = job.state_pandas()
+    row = eng[(eng.repo == "org0/repo0") & (eng.path == "src/m0/f1.py")]
+    assert len(row) == 1 and int(row["stars"].iloc[0]) == 77
+
+
+def test_column_filter_projects_lake(ray_session, tmp_path):
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=200, n_events=2_000, n_segments=2, seed=19)
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=4,
+        epoch_segments=1, column_filter=("commit", "lang", "stars", "license"),
+    )
+    job = CdcJob(cfg)
+    job.run()
+    eng = job.state_pandas()
+    # content projected away; PK always kept
+    assert "content" not in eng.columns
+    assert {"repo", "path", "commit", "lang"} <= set(eng.columns)
+    # values match the oracle's projection of the same columns
+    oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
+    oracle_proj = oracle_df[list(eng.columns)]
+    assert state_digest(eng) == state_digest(oracle_proj)
