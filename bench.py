@@ -71,9 +71,10 @@ def run_cdc_replay(num_cpus: int) -> dict:
         log_dir=os.path.join(_fixture_dir(), "binlog"),
         lake_dir=lake,
         base_table=os.path.join(_fixture_dir(), "base", "repos.parquet"),
-        num_partitions=32,
+        num_partitions=64,
         epoch_segments=4,  # fine-grained ack points ...
         epochs_per_cycle=8,  # ... batched through one shuffle per cycle
+        decode_batch_size=128 * 1024,
     )
     t0 = time.perf_counter()
     report = CdcJob(cfg).run()

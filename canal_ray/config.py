@@ -46,6 +46,10 @@ class CdcConfig:
 
     # --- partitioning / shuffle ------------------------------------------
     num_partitions: int = 32
+    # "sort": Ray groupby sort-shuffle (whole cycle transits the object
+    #   store); "scatter": disk-based exchange via partition-bucketed snappy
+    #   fragments (streaming-friendly, compressed; see canal_ray.scatter)
+    exchange: str = "sort"
 
     # --- epoching / batching ---------------------------------------------
     epoch_segments: int = 4  # segments consumed per epoch (per ack point)

@@ -16,9 +16,15 @@ per batch, what the reference does per event in its parse stage:
     ``canal_ray.partition`` docstring for why we differ)
 
 The decode stage does NOT materialize typed payload columns — values stay in
-Canal's stringly ``cols``/``vals`` transport until the sink applies them
-against the DDL-evolved schema (``canal_ray.sink``), so the stage's output
-schema is stable for the whole stream even across DDL.
+Canal's stringly ``vals`` transport until the sink applies them against the
+DDL-evolved schema (``canal_ray.sink``), so the stage's output schema is
+stable for the whole stream even across DDL.
+
+Shuffle-byte discipline: the decode output drops everything the sink doesn't
+need. In particular the per-row ``cols`` name list (as many bytes as the data
+itself in flight) collapses to ``img_len`` — under additive-only evolution a
+row's column set is exactly ``schema.names()[:img_len]`` (the prefix
+invariant), so the names never need to travel.
 """
 
 from __future__ import annotations
@@ -34,7 +40,36 @@ import pyarrow.compute as pc
 from canal_ray.config import CdcConfig
 from canal_ray.partition import partition_ids
 
-DECODED_EXTRA = pa.field("partition_id", pa.int32())
+# post-decode wire format (what the one shuffle actually moves)
+DECODED_SCHEMA = pa.schema(
+    [
+        pa.field("lsn", pa.int64()),
+        pa.field("op", pa.string()),
+        pa.field("pk_repo", pa.string()),
+        pa.field("pk_path", pa.string()),
+        pa.field("vals", pa.list_(pa.string())),
+        pa.field("ddl_sql", pa.string()),
+        pa.field("img_len", pa.int32()),
+        pa.field("partition_id", pa.int32()),
+    ]
+)
+
+
+def _project(batch: pa.Table) -> pa.Table:
+    img_len = pc.fill_null(pc.list_value_length(batch["vals"]), 0)
+    return pa.table(
+        {
+            "lsn": batch["lsn"],
+            "op": batch["op"],
+            "pk_repo": batch["pk_repo"],
+            "pk_path": batch["pk_path"],
+            "vals": batch["vals"],
+            "ddl_sql": batch["ddl_sql"],
+            "img_len": pc.cast(img_len, pa.int32()),
+            "partition_id": batch["partition_id"],
+        },
+        schema=DECODED_SCHEMA,
+    )
 
 
 def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
@@ -58,8 +93,13 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
         drop_ops.add("DDL")
 
     def decode(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("partition_id", pa.array([], type=pa.int32()))
+        """Single-copy decode: every mask is computed on the narrow columns
+        (lsn, op, pk) and the wide table (content payloads) is filtered
+        exactly once — copies of the payload bytes are what a decode stage
+        spends its time on at 100 TB."""
+        n = batch.num_rows
+        if n == 0:
+            return DECODED_SCHEMA.empty_table()
         # --- subscribe filter (schema.table regex, lowercased like Canal) ---
         # dictionary-encode first: the regex runs once per distinct identity
         # (a handful), not once per row
@@ -78,39 +118,36 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
         ops = batch["op"].to_numpy(zero_copy_only=False)
         if drop_ops:
             keep &= ~np.isin(ops, list(drop_ops))
-        batch = batch.filter(pa.array(keep))
-        if batch.num_rows == 0:
-            return batch.append_column("partition_id", pa.array([], type=pa.int32()))
 
-        ops = batch["op"].to_numpy(zero_copy_only=False)
-        is_ddl = ops == "DDL"
-        dml = batch.filter(pa.array(~is_ddl))
-        ddl = batch.filter(pa.array(is_ddl))
+        is_ddl = (ops == "DDL") & keep
+        dml_keep = keep & ~is_ddl
+
+        # --- within-batch LWW pre-compaction (keep max-lsn per key), as a
+        # mask over original positions: no payload movement yet ---
+        pid = np.full(n, -1, dtype=np.int32)
+        idx = np.flatnonzero(dml_keep)
+        if idx.size:
+            lsn = batch["lsn"].to_numpy()[idx]
+            repo = batch["pk_repo"].to_numpy(zero_copy_only=False)[idx]
+            path = batch["pk_path"].to_numpy(zero_copy_only=False)[idx]
+            order = np.argsort(lsn, kind="stable")
+            df = pd.DataFrame({"r": repo[order], "p": path[order]})
+            last = ~df.duplicated(keep="last").to_numpy()
+            dropped = idx[order][~last]
+            dml_keep[dropped] = False
+            sel = np.isin(idx, np.flatnonzero(dml_keep))  # survivors, idx-aligned
+            pid[idx[sel]] = partition_ids(repo[sel], path[sel], num_partitions)
 
         out = []
-        if dml.num_rows:
-            # --- within-batch LWW pre-compaction (keep max-lsn per key) ---
-            df = pd.DataFrame(
-                {
-                    "r": dml["pk_repo"].to_numpy(zero_copy_only=False),
-                    "p": dml["pk_path"].to_numpy(zero_copy_only=False),
-                    "lsn": dml["lsn"].to_numpy(),
-                }
+        if dml_keep.any():
+            dml = batch.filter(pa.array(dml_keep))  # the ONE payload copy
+            out.append(
+                dml.append_column(
+                    "partition_id", pa.array(pid[dml_keep], type=pa.int32())
+                )
             )
-            order = np.argsort(df["lsn"].to_numpy(), kind="stable")
-            dml = dml.take(pa.array(order))
-            df = df.iloc[order]
-            last = ~df.duplicated(subset=["r", "p"], keep="last").to_numpy()
-            dml = dml.filter(pa.array(last))
-            # --- PK-hash routing ---
-            pid = partition_ids(
-                dml["pk_repo"].to_numpy(zero_copy_only=False),
-                dml["pk_path"].to_numpy(zero_copy_only=False),
-                num_partitions,
-            )
-            out.append(dml.append_column("partition_id", pa.array(pid, type=pa.int32())))
-        if ddl.num_rows:
-            # --- replicate DDL to every partition ---
+        if is_ddl.any():
+            ddl = batch.filter(pa.array(is_ddl))  # tiny
             for j in range(num_partitions):
                 out.append(
                     ddl.append_column(
@@ -119,8 +156,7 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
                     )
                 )
         if not out:
-            sch = batch.schema.append(DECODED_EXTRA)
-            return sch.empty_table()
-        return pa.concat_tables(out)
+            return DECODED_SCHEMA.empty_table()
+        return _project(pa.concat_tables(out))
 
     return decode

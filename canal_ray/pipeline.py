@@ -153,13 +153,9 @@ class CdcJob:
         if max_epochs is not None:
             pending = pending[:max_epochs]
 
-        # bootstrap epoch runs as its own cycle (different source)
         while pending:
-            if pending[0][0] == 0:
-                cycle = [pending.pop(0)]
-            else:
-                k = max(1, cfg.epochs_per_cycle)
-                cycle, pending = pending[:k], pending[k:]
+            k = max(1, cfg.epochs_per_cycle)
+            cycle, pending = pending[:k], pending[k:]
             schema, events = self._run_cycle(cycle, schema)
             total_events += events
             processed += len(cycle)
@@ -206,36 +202,71 @@ class CdcJob:
         self, cycle: list[tuple[int, list[str]]], schema: TableSchema
     ) -> tuple[TableSchema, int]:
         cfg = self.cfg
-        if cycle[0][0] == 0 and cfg.base_table is None:
-            self.store.write_epoch(0, self._manifest(0, [], schema, 0))
-            return schema, 0
-        if cycle[0][0] == 0:
-            payload = cfg.payload_columns()
-            ds = ray.data.read_parquet(cfg.base_table)
-            ds = ds.map_batches(
-                lambda b, _names=payload: _base_to_log(b, _names),
-                batch_format="pyarrow",
-                batch_size=cfg.decode_batch_size,
-            )
-            epoch_ranges = [(0, 0, 0)]
-        else:
-            all_segs = [s for _, segs in cycle for s in segs]
-            ds = ray.data.read_parquet(all_segs)
-            epoch_ranges = []
-            for epoch, segs in cycle:
+        # the bootstrap snapshot (epoch 0) joins the first cycle's pipeline via
+        # Dataset.union — no separate driver barrier for the initial load
+        epoch_ranges = []
+        sources = []
+        for epoch, segs in cycle:
+            if epoch == 0:
+                if cfg.base_table is None:
+                    continue  # manifest-only epoch (written below)
+                payload = cfg.payload_columns()
+                boot = ray.data.read_parquet(cfg.base_table)
+                sources.append(
+                    boot.map_batches(
+                        lambda b, _names=payload: _base_to_log(b, _names),
+                        batch_format="pyarrow",
+                        batch_size=cfg.decode_batch_size,
+                    )
+                )
+                epoch_ranges.append((0, 0, 0))
+            else:
                 los, his = zip(*(_segment_lsn_range(s) for s in segs))
                 epoch_ranges.append((epoch, min(los), max(his)))
+        log_segs = [s for e, segs in cycle for s in segs if e > 0]
+        if log_segs:
+            sources.append(ray.data.read_parquet(log_segs))
+        if not sources:
+            for epoch, segs in cycle:
+                self.store.write_epoch(epoch, self._manifest(epoch, segs, schema, 0))
+            return schema, 0
+        ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
         ds = ds.map_batches(
             make_decoder(cfg),
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
         )
-        applier = make_applier(cfg, epoch_ranges, schema.to_json())
-        summaries = (
-            ds.groupby("partition_id")
-            .map_groups(applier, batch_format="pyarrow")
-            .take_all()
-        )
+        if cfg.exchange == "scatter":
+            import shutil
+
+            from canal_ray.scatter import make_gather_fn, make_scatter_fn
+
+            frag_dir = os.path.join(
+                cfg.lake_dir, "_fragments", f"cycle_e{cycle[0][0]:05d}"
+            )
+            shutil.rmtree(frag_dir, ignore_errors=True)  # stale crashed run
+            frag_rows = ds.map_batches(
+                make_scatter_fn(frag_dir), batch_format="pyarrow"
+            ).take_all()
+            frag_index: dict[int, list[tuple[str, int]]] = {}
+            for r in sorted(frag_rows, key=lambda r: (r["fragment"], r["row_group"])):
+                frag_index.setdefault(int(r["pid"]), []).append(
+                    (r["fragment"], int(r["row_group"]))
+                )
+            items = [{"pid": p} for p in range(cfg.num_partitions)]
+            gather = make_gather_fn(cfg, frag_index, epoch_ranges, schema.to_json())
+            summaries = (
+                ray.data.from_items(items)
+                .map_batches(gather, batch_format="pyarrow", batch_size=1)
+                .take_all()
+            )
+        else:
+            applier = make_applier(cfg, epoch_ranges, schema.to_json())
+            summaries = (
+                ds.groupby("partition_id")
+                .map_groups(applier, batch_format="pyarrow")
+                .take_all()
+            )
         # per-epoch: verify schema consistency, ack with a manifest (in order)
         total_events = 0
         by_epoch: dict[int, list[dict]] = {}
@@ -247,6 +278,13 @@ class CdcJob:
             events = int(sum(s["events"] for s in ss))
             total_events += events
             self.store.write_epoch(epoch, self._manifest(epoch, segs, schema, events))
+        if cfg.exchange == "scatter":
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(cfg.lake_dir, "_fragments", f"cycle_e{cycle[0][0]:05d}"),
+                ignore_errors=True,
+            )
         return schema, total_events
 
     def _manifest(self, epoch: int, segs: list[str], schema: TableSchema, events: int) -> dict:

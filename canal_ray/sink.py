@@ -92,18 +92,17 @@ def materialize_images(
     """Typed payload table for DML rows (any mix of image widths + DELETEs),
     plus the quarantined poison rows (un-castable values) in wire format.
 
-    Relies on the additive-evolution invariant: a row's ``cols`` list is a
-    prefix of the final ordered column list, so the image *length* alone
-    identifies its column set — this keeps extraction fully vectorized
-    (``pc.list_element`` per column) instead of per-row dict building.
+    Relies on the additive-evolution invariant: a row's column set is the
+    prefix ``schema.names()[:img_len]`` of the final ordered column list, so
+    the image *length* alone identifies its column set — extraction stays
+    fully vectorized (``pc.list_element`` per column) and the column names
+    never travel through the shuffle (see ``canal_ray.decode``).
     """
     names = schema.names()
     arrow_schema = schema.to_arrow()
     n = dml.num_rows
     ops = dml["op"].to_numpy(zero_copy_only=False)
-    lengths = pc.fill_null(pc.list_value_length(dml["cols"]), 0).to_numpy(
-        zero_copy_only=False
-    )
+    lengths = dml["img_len"].to_numpy(zero_copy_only=False)
 
     pieces: list[pa.Table] = []
     poison_pieces: list[pa.Table] = []
@@ -111,13 +110,11 @@ def materialize_images(
         mask = lengths == length
         sub = dml.filter(pa.array(mask))
         cols: dict[str, pa.Array] = {}
-        if length > 0:
-            # cheap invariant check on one row (prefix property)
-            first_cols = sub["cols"][0].as_py()
-            if first_cols != names[: int(length)]:
-                raise ValueError(
-                    f"image columns {first_cols} are not a prefix of schema {names}"
-                )
+        if length > len(names):
+            raise ValueError(
+                f"image width {length} exceeds schema {names} — DDL not yet "
+                "applied for this partition? (broken replication invariant)"
+            )
         # poison detection: numeric columns whose string value can't cast.
         # Canal's adapter ultimately ACKs past poison batches after retries
         # (AdapterProcessor.java:162-241); deterministic replay can't retry
