@@ -46,10 +46,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_building_order_revenue": R.building_segment_order_revenue,
         "supplier_balance_by_region": R.supplier_balance_by_region,
         "order_priority_counts": R.order_priority_counts,
+        "event_props_k_stats": R.event_props_k_stats,
         # --- deduplication (training-data pipeline) ----------------------
         "doc_exact_dedup": D.exact_dedup,
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only
         "doc_minhash_dedup_keep": D.minhash_dedup_keep,  # rows-only
+        "doc_ngram_jaccard_pairs": D.ngram_jaccard_pairs,  # rows-only
         "doc_simhash": D.simhash_docs,  # rows-only
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         # --- text analysis ----------------------------------------------

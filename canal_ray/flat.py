@@ -76,3 +76,22 @@ def to_flat_messages(batch: pa.Table) -> pa.Table:
 def flat_message_dataset(log_ds):
     """Decoded log Dataset -> FlatMessage Dataset."""
     return log_ds.map_batches(to_flat_messages, batch_format="pyarrow")
+
+
+def produce_flat_json(log_dir: str, out_dir: str) -> int:
+    """MQ-producer analog: serialize the log as partitioned FlatMessage JSON.
+
+    The counterpart of ``CanalKafkaProducer.send`` with flatMessage=true
+    (``connector/kafka-connector/.../CanalKafkaProducer.java:139-268``) —
+    here the "topic" is a JSON-lines directory; delivery atomicity comes from
+    Ray Data's per-block file writes + the caller's cursor (epoch manifests).
+    Returns the number of messages produced.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [f"{log_dir}/{n}" for n in sorted(__import__("os").listdir(log_dir)) if n.endswith(".parquet")]
+    )
+    flat = flat_message_dataset(ds)
+    flat.write_json(out_dir)
+    return flat.count()

@@ -149,7 +149,7 @@ def generate_fixture(
     params = dict(
         n_base=n_base, n_events=n_events, n_segments=n_segments, seed=seed,
         zipf_s=zipf_s, content_scale=content_scale, p_insert=p_insert,
-        p_update=p_update, p_noise=p_noise, hot_frac=hot_frac, version=3,
+        p_update=p_update, p_noise=p_noise, hot_frac=hot_frac, version=4,
     )
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -284,18 +284,30 @@ def generate_fixture(
                 v.append(_LICENSES[lic[i]])
             cols_out[i] = names
             vals_out[i] = v
-        # noise events for an unsubscribed table (exercises the regex filter)
+        # noise events for a second table (exercises regex filter + routing);
+        # pk = (id, note-kind) so a multi-table job can subscribe to it
         for i in np.flatnonzero(noise):
             ops[i] = "INSERT"
             cols_out[i] = ["id", "note"]
-            vals_out[i] = [str(int(lsns[i])), "audit row"]
+            vals_out[i] = [str(int(lsns[i])), f"audit row {int(lsns[i]) % 7}"]
+
+        # heartbeat liveness events (EventType.MHEARTBEAT analog) — no table,
+        # no payload; consumers must skip them while their lsns advance
+        hb = (lsns % 997 == 0) & ~ddl_mask & ~noise
+        ops[hb] = "MHEARTBEAT"
+        for i in np.flatnonzero(hb):
+            cols_out[i] = None
+            vals_out[i] = None
 
         table_name = np.where(noise, "audit", "repos").astype(object)
         table_name[ddl_mask] = "repos"
+        table_name[hb] = ""
         pk_repo = repo_arr.copy()
         pk_path = path_arr.copy()
-        pk_repo[ddl_mask | noise] = None
-        pk_path[ddl_mask | noise] = None
+        pk_repo[noise] = np.array([str(int(l)) for l in lsns[noise]], dtype=object)
+        pk_path[noise] = "audit"
+        pk_repo[ddl_mask | hb] = None
+        pk_path[ddl_mask | hb] = None
         ddl_sql = np.full(n_ev, None, dtype=object)
         for i in np.flatnonzero(ddl_mask):
             ddl_sql[i] = ddl_lsns[int(lsns[i])]

@@ -65,12 +65,19 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     return df
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else [""]
+def _shingle_hashes(text: str, k: int = 3, mode: str = "word") -> np.ndarray:
+    """Hashed shingle set: k-token windows ('word') or char k-grams ('char')."""
+    if mode == "char":
+        if len(text) < k:
+            shingles = [text]
+        else:
+            shingles = [text[i : i + k] for i in range(len(text) - k + 1)]
     else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        toks = text.split()
+        if len(toks) < k:
+            shingles = [" ".join(toks)] if toks else [""]
+        else:
+            shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     return np.unique(pd.util.hash_array(np.array(shingles, dtype=object)).astype(np.uint64))
 
 
@@ -78,11 +85,12 @@ class MinHasher:
     """Actor-pool stage: per-doc 64-perm minhash signature, vectorized via
     one flattened (all-shingles x perms) matrix + segment-min reduceat."""
 
-    def __init__(self, k: int = 3):
+    def __init__(self, k: int = 3, mode: str = "word"):
         self.k = k
+        self.mode = mode
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        per_doc = [_shingle_hashes(t, self.k) for t in batch["text"].tolist()]
+        per_doc = [_shingle_hashes(t, self.k, self.mode) for t in batch["text"].tolist()]
         lens = np.array([len(s) for s in per_doc])
         flat = np.concatenate(per_doc)
         # (n_shingles, N_PERM) permuted hashes; modular arithmetic in uint64
@@ -124,7 +132,12 @@ def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
-def minhash_lsh_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+def minhash_lsh_dup_pairs(
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+    mode: str = "word",
+) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
     shingle -> minhash (map_batches) -> band explode -> band-bucket groupby ->
@@ -133,7 +146,9 @@ def minhash_lsh_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.Dat
     scale because LSH buckets are tiny); the bucket groupby is the shuffle.
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+    sigs = ds.map_batches(
+        MinHasher, fn_constructor_args=(k, mode), batch_format="pandas", concurrency=2
+    )
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -162,7 +177,7 @@ def minhash_lsh_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.Dat
         return pd.DataFrame(
             {
                 "doc_id": sub["doc_id"],
-                "shingles": sub["text"].map(lambda t: _shingle_hashes(t)),
+                "shingles": sub["text"].map(lambda t: _shingle_hashes(t, k, mode)),
             }
         )
 
@@ -176,6 +191,14 @@ def minhash_lsh_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.Dat
     pairs = pairs.assign(jaccard=np.round(jac, 6))
     out = pairs[pairs["jaccard"] >= jaccard_threshold].reset_index(drop=True)
     return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, n: int = 5, jaccard_threshold: float = 0.6
+) -> pd.DataFrame:
+    """Character n-gram Jaccard near-dup pairs (the char-level variant):
+    same LSH candidate machinery, char shingles, exact Jaccard verify."""
+    return minhash_lsh_dup_pairs(sf_dir, jaccard_threshold, k=n, mode="char")
 
 
 def minhash_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:

@@ -107,6 +107,13 @@ RELATIONAL_SQL: dict[str, str] = {
         WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderstatus = 'F'
         GROUP BY o_orderpriority
     """,
+    "event_props_k_stats": """
+        SELECT (CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) // 10) * 10
+                   AS k_bucket,
+               count(*)             AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    """,
 }
 
 TRAINING_SQL: dict[str, str] = {

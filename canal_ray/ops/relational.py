@@ -126,6 +126,24 @@ def _cents(col: pa.ChunkedArray | pa.Array, scale: float = 100.0) -> pa.ChunkedA
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(scale))), pa.int64())
 
 
+def event_props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction (the JsonConversion analog,
+    ``dbsync/.../JsonConversion.java``): pull ``k`` out of the JSON ``props``
+    column with a vectorized regex, bucket it, aggregate per bucket."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props", "value"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        bucket = pc.multiply(pc.divide(kv, pa.scalar(10, type=pa.int64())), pa.scalar(10, type=pa.int64()))
+        return pa.table({"k_bucket": bucket, "value": t["value"]})
+
+    out = ds.map_batches(extract, batch_format="pyarrow").groupby("k_bucket").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return round_columns(out.to_pandas(), {"sum_value": 4})
+
+
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",

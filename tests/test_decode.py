@@ -118,3 +118,23 @@ def test_flat_message_conversion():
     assert dele["data"] is None and '"path": "p2"' in dele["old"]
     assert ddl["isDdl"] and "ADD COLUMN" in ddl["sql"]
     assert ins["es"] == EPOCH_MS
+
+
+def test_produce_flat_json(ray_session, tmp_path):
+    import glob
+    import json
+    import os
+
+    from canal_ray.flat import produce_flat_json
+    from canal_ray.loggen import generate_fixture
+
+    d = str(tmp_path / "fix")
+    meta = generate_fixture(d, n_base=100, n_events=1_000, n_segments=2, seed=13)
+    out = str(tmp_path / "mq")
+    n = produce_flat_json(f"{d}/binlog", out)
+    assert n == 1_000
+    files = glob.glob(f"{out}/*.json")
+    assert files
+    with open(files[0]) as f:
+        first = json.loads(f.readline())
+    assert {"id", "database", "table", "type", "data", "old", "isDdl"} <= set(first)

@@ -101,3 +101,14 @@ def test_lang_id_shape(ray_session):
     assert set(df.columns) == {"doc_id", "lang_pred", "lang_score"}
     assert len(df) == 500
     assert (df["lang_pred"] == "en").mean() > 0.8  # corpus is English-ish
+
+
+def test_ngram_jaccard_finds_planted_dups(ray_session, planted_docs):
+    from canal_ray.ops.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(planted_docs, n=5, jaccard_threshold=0.6)
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    for i in range(5):
+        assert (i, 40 + i) in found  # exact dups at char level too
+    near_found = sum((i, 45 + i - 5) in found for i in range(5, 10))
+    assert near_found >= 4  # char 5-gram jaccard of 3/60-token edits is high

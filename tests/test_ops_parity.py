@@ -60,6 +60,7 @@ def assert_parity(ray_df, sql: str):
         "q3_building_order_revenue",
         "supplier_balance_by_region",
         "order_priority_counts",
+        "event_props_k_stats",
         "doc_exact_dedup",
         "doc_token_stats",
         "doc_quality_flags",
