@@ -58,6 +58,9 @@ class CdcConfig:
     # analog of serving several ack points from one getWithoutAck batch.
     epochs_per_cycle: int = 4
     decode_batch_size: int = 32 * 1024  # rows per decode batch
+    # fold deltas into per-partition base files every N consumption cycles
+    # (None = only on explicit compact()); bounds merge-on-read fan-in
+    compact_every_cycles: int | None = None
 
     # --- behavior flags ---------------------------------------------------
     filter_dml_insert: bool = False  # MysqlMultiStageCoprocessor.java:74-76

@@ -119,8 +119,10 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
         if drop_ops:
             keep &= ~np.isin(ops, list(drop_ops))
 
-        is_ddl = (ops == "DDL") & keep
-        dml_keep = keep & ~is_ddl
+        # DDL and TRUNCATE replicate to every partition (each sink owns table
+        # shards; Canal sends them to partition 0 only — see canal_ray.partition)
+        is_ddl = ((ops == "DDL") | (ops == "TRUNCATE")) & keep
+        dml_keep = keep & ~is_ddl & (ops != "MHEARTBEAT")
 
         # --- within-batch LWW pre-compaction (keep max-lsn per key), as a
         # mask over original positions: no payload movement yet ---

@@ -68,6 +68,9 @@ DDL_SCHEDULE = [
     (0.50, "ALTER TABLE mytest.repos MODIFY COLUMN stars BIGINT"),
     (0.70, "ALTER TABLE mytest.repos ADD COLUMN license VARCHAR(64) NULL"),
 ]
+# optional TRUNCATE event (EventType.TRUNCATE) at this fraction when
+# truncate_at is passed to generate_fixture
+TRUNCATE_SQL = "TRUNCATE TABLE mytest.repos"
 _LICENSES = ["mit", "apache-2.0", "bsd-3", "gpl-3.0", "mpl-2.0"]
 
 
@@ -138,6 +141,7 @@ def generate_fixture(
     p_update: float = 0.45,
     p_noise: float = 0.01,
     hot_frac: float = 0.2,
+    truncate_at: float | None = None,
     force: bool = False,
 ) -> dict:
     """Generate base table + binlog segments; returns the fixture meta dict.
@@ -149,7 +153,8 @@ def generate_fixture(
     params = dict(
         n_base=n_base, n_events=n_events, n_segments=n_segments, seed=seed,
         zipf_s=zipf_s, content_scale=content_scale, p_insert=p_insert,
-        p_update=p_update, p_noise=p_noise, hot_frac=hot_frac, version=4,
+        p_update=p_update, p_noise=p_noise, hot_frac=hot_frac,
+        truncate_at=truncate_at, version=5,
     )
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -189,6 +194,11 @@ def generate_fixture(
     for frac, sql in DDL_SCHEDULE:
         lsn = max(2, int(n_events * frac))
         ddl_lsns[lsn] = sql
+    truncate_lsn = None
+    if truncate_at is not None:
+        truncate_lsn = max(3, int(n_events * truncate_at))
+        while truncate_lsn in ddl_lsns:
+            truncate_lsn += 1
     stars_lsn = min(l for l, s in ddl_lsns.items() if "ADD COLUMN stars" in s)
     widen_lsn = min(l for l, s in ddl_lsns.items() if "MODIFY" in s)
     license_lsn = min(l for l, s in ddl_lsns.items() if "license" in s)
@@ -213,6 +223,11 @@ def generate_fixture(
         ddl_mask = np.isin(lsns, list(ddl_lsns.keys()))
         ops[ddl_mask] = "DDL"
         noise[ddl_mask] = False
+        tr_mask = np.zeros(n_ev, dtype=bool)
+        if truncate_lsn is not None:
+            tr_mask = lsns == truncate_lsn
+            ops[tr_mask] = "TRUNCATE"
+            noise[tr_mask] = False
 
         ins_mask = (ops == "INSERT") & ~noise
         # target selection for UPDATE/DELETE: any key inserted so far
@@ -293,24 +308,31 @@ def generate_fixture(
 
         # heartbeat liveness events (EventType.MHEARTBEAT analog) — no table,
         # no payload; consumers must skip them while their lsns advance
-        hb = (lsns % 997 == 0) & ~ddl_mask & ~noise
+        hb = (lsns % 997 == 0) & ~ddl_mask & ~noise & ~tr_mask
         ops[hb] = "MHEARTBEAT"
         for i in np.flatnonzero(hb):
             cols_out[i] = None
             vals_out[i] = None
 
+        # TRUNCATE rows carry no image either
+        for i in np.flatnonzero(tr_mask):
+            cols_out[i] = None
+            vals_out[i] = None
+
         table_name = np.where(noise, "audit", "repos").astype(object)
-        table_name[ddl_mask] = "repos"
+        table_name[ddl_mask | tr_mask] = "repos"
         table_name[hb] = ""
         pk_repo = repo_arr.copy()
         pk_path = path_arr.copy()
         pk_repo[noise] = np.array([str(int(l)) for l in lsns[noise]], dtype=object)
         pk_path[noise] = "audit"
-        pk_repo[ddl_mask | hb] = None
-        pk_path[ddl_mask | hb] = None
+        pk_repo[ddl_mask | hb | tr_mask] = None
+        pk_path[ddl_mask | hb | tr_mask] = None
         ddl_sql = np.full(n_ev, None, dtype=object)
         for i in np.flatnonzero(ddl_mask):
             ddl_sql[i] = ddl_lsns[int(lsns[i])]
+        for i in np.flatnonzero(tr_mask):
+            ddl_sql[i] = TRUNCATE_SQL
 
         seg_tbl = pa.table(
             {
@@ -339,6 +361,7 @@ def generate_fixture(
         "n_keys_total": int(keys.total),
         "n_inserted": int(n_inserted),
         "ddl_lsns": {str(k): v for k, v in ddl_lsns.items()},
+        "truncate_lsn": truncate_lsn,
         "segments": [os.path.basename(s) for s in segments],
         "base": "base/repos.parquet",
         "last_lsn": int(lsn0 - 1),

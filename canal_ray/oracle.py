@@ -64,6 +64,11 @@ def replay_oracle(
                 continue
             if row["schema_name"] != want_schema or row["table_name"] != want_table:
                 continue
+            if row["op"] == "TRUNCATE":
+                state.clear()
+                continue
+            if row["op"] == "MHEARTBEAT":
+                continue
             key = (row["pk_repo"], row["pk_path"])
             if row["op"] == "DELETE":
                 state.pop(key, None)

@@ -153,12 +153,19 @@ class CdcJob:
         if max_epochs is not None:
             pending = pending[:max_epochs]
 
+        cycles_done = 0
         while pending:
             k = max(1, cfg.epochs_per_cycle)
             cycle, pending = pending[:k], pending[k:]
             schema, events = self._run_cycle(cycle, schema)
             total_events += events
             processed += len(cycle)
+            cycles_done += 1
+            if (
+                cfg.compact_every_cycles
+                and cycles_done % cfg.compact_every_cycles == 0
+            ):
+                self.compact()
         return {
             "epochs_processed": processed,
             "last_epoch": self.store.last_complete_epoch(),

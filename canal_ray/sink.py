@@ -244,6 +244,14 @@ def make_applier(
         for sql in group.filter(pa.array(ops == "DDL"))["ddl_sql"].to_pylist():
             schema.apply(sql)
             n_ddl += 1
+        # TRUNCATE: every event (and all prior lake state) before its lsn dies.
+        # In-epoch we drop superseded events here; cross-epoch the cut is
+        # carried as delta-file metadata applied at merge time.
+        truncate_lsn = 0
+        tr = ops == "TRUNCATE"
+        if tr.any():
+            lsn_np = group["lsn"].to_numpy()
+            truncate_lsn = int(lsn_np[tr].max())
 
         # ---- offset fencing ---------------------------------------------
         existing = store.read_partition(pid, epoch)
@@ -259,7 +267,10 @@ def make_applier(
             existing["skipped"] = True
             return existing
 
-        dml = group.filter(pa.array(ops != "DDL"))
+        dml_mask = (ops != "DDL") & ~tr
+        if truncate_lsn:
+            dml_mask &= group["lsn"].to_numpy() > truncate_lsn
+        dml = group.filter(pa.array(dml_mask))
         counts = pd.Series(dml["op"].to_numpy(zero_copy_only=False)).value_counts()
 
         # ---- typed materialization + epoch-level LWW compaction ----------
@@ -275,7 +286,11 @@ def make_applier(
         delta = lww_compact(typed, pk)
 
         delta_rows = delta.num_rows
-        if delta_rows:
+        if delta_rows or truncate_lsn:
+            if truncate_lsn:
+                meta = dict(delta.schema.metadata or {})
+                meta[b"truncate_lsn"] = str(truncate_lsn).encode()
+                delta = delta.replace_schema_metadata(meta)
             _atomic_write_parquet(delta, delta_path)
 
         # ---- lineage: hot-key counters (repo level) ----------------------
@@ -292,6 +307,7 @@ def make_applier(
             "updates": int(counts.get("UPDATE", 0)),
             "deletes": int(counts.get("DELETE", 0)),
             "ddls": n_ddl,
+            "truncate_lsn": truncate_lsn,
             "poison": int(poison.num_rows) if poison is not None else 0,
             "delta_rows": int(delta_rows),
             "lsn_min": lsn_min,
@@ -364,13 +380,19 @@ def merge_partition(part_dir: str, schema: TableSchema, pk: tuple[str, str]) -> 
     """LWW-merge base + deltas of one partition -> live rows (payload + _lsn)."""
     files = sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else []
     tables = []
+    truncate_lsn = 0
     for name in files:
         if name == "base.parquet" or (name.startswith("delta_e") and name.endswith(".parquet")):
             t = pq.read_table(os.path.join(part_dir, name))
+            md = t.schema.metadata or {}
+            if b"truncate_lsn" in md:
+                truncate_lsn = max(truncate_lsn, int(md[b"truncate_lsn"]))
             tables.append(conform(t, schema, with_meta=True))
     if not tables:
         return conform(schema.to_arrow().empty_table(), schema, with_meta=True)
     merged = pa.concat_tables(tables, promote_options="permissive")
+    if truncate_lsn:
+        merged = merged.filter(pc.greater(merged[META_LSN], truncate_lsn))
     merged = lww_compact(merged, pk)
     live = merged.filter(pc.invert(merged[META_DELETED]))
     return live.drop_columns([META_DELETED])

@@ -144,3 +144,22 @@ def test_t2_scale_correctness(ray_session, t2_fixture, tmp_path_factory):
     assert len(eng) == len(oracle_df)
     assert state_digest(eng) == state_digest(oracle_df)
     assert job.final_schema() == oracle_schema
+
+
+def test_auto_compaction(ray_session, t1_fixture, tmp_path_factory):
+    """compact_every_cycles folds deltas as the job runs; state unchanged."""
+    import os
+
+    from canal_ray.sink import lake_partition_dirs
+
+    d, meta = t1_fixture
+    lake = str(tmp_path_factory.mktemp("lake_ac"))
+    cfg = _cfg(d, lake, num_partitions=4, epoch_segments=1, epochs_per_cycle=1)
+    cfg.compact_every_cycles = 1
+    job = CdcJob(cfg)
+    job.run()
+    for p in lake_partition_dirs(lake):
+        names = [n for n in os.listdir(p) if n.endswith(".parquet")]
+        assert "base.parquet" in names and len(names) == 1
+    oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
+    assert state_digest(job.state_pandas()) == state_digest(oracle_df)

@@ -79,3 +79,33 @@ def test_column_filter_projects_lake(ray_session, tmp_path):
     oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
     oracle_proj = oracle_df[list(eng.columns)]
     assert state_digest(eng) == state_digest(oracle_proj)
+
+
+def test_truncate_event(ray_session, tmp_path):
+    """TRUNCATE wipes all earlier state (base + events) in every partition;
+    later events rebuild; resume and compaction preserve the cut."""
+    from canal_ray.loggen import generate_fixture
+
+    d = str(tmp_path / "trfix")
+    meta = generate_fixture(
+        d, n_base=500, n_events=6_000, n_segments=6, seed=43, truncate_at=0.55
+    )
+    assert meta["truncate_lsn"] is not None
+    lake = str(tmp_path / "trlake")
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=lake, base_table=f"{d}/base/repos.parquet",
+        num_partitions=4, epoch_segments=2, epochs_per_cycle=2,
+    )
+    job = CdcJob(cfg)
+    job.run()
+    oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
+    eng = job.state_pandas()
+    assert state_digest(eng) == state_digest(oracle_df)
+    # the cut really happened: far fewer rows than base+inserts
+    assert 0 < len(eng) < 500 + 0.4 * 6_000
+    # every surviving row postdates the truncate
+    lsns = job.read_state(keep_lsn=True).to_pandas()["_lsn"]
+    assert (lsns > meta["truncate_lsn"]).all()
+    # compaction folds the cut in permanently
+    job.compact()
+    assert state_digest(job.state_pandas()) == state_digest(oracle_df)
