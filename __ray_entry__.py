@@ -47,6 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_region": R.supplier_balance_by_region,
         "order_priority_counts": R.order_priority_counts,
         "event_props_k_stats": R.event_props_k_stats,
+        "top_users_by_value": R.top_users_by_value,
+        "distinct_customers_per_status": R.distinct_customers_per_status,
+        "customers_without_orders": R.customers_without_orders,
+        "user_running_value": R.user_running_value,
+        "purchase_prev_event": R.purchase_prev_event,
         # --- deduplication (training-data pipeline) ----------------------
         "doc_exact_dedup": D.exact_dedup,
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only

@@ -107,6 +107,48 @@ RELATIONAL_SQL: dict[str, str] = {
         WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderstatus = 'F'
         GROUP BY o_orderpriority
     """,
+    "top_users_by_value": """
+        WITH agg AS (
+            SELECT user_id,
+                   sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS total_value,
+                   count(*) AS n
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, total_value, n FROM agg
+        ORDER BY total_value DESC, user_id LIMIT 20
+    """,
+    "distinct_customers_per_status": """
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        )
+    """,
+    "user_running_value": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ), 4) AS running_value
+        FROM events
+    """,
+    "purchase_prev_event": """
+        WITH w AS (
+            SELECT user_id, event_id, event_type,
+                   lag(event_id)    OVER win AS prev_event_id,
+                   lag(event_type)  OVER win AS prev_event_type
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, prev_event_id, prev_event_type
+        FROM w WHERE event_type = 'purchase' AND prev_event_id IS NOT NULL
+    """,
     "event_props_k_stats": """
         SELECT (CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) // 10) * 10
                    AS k_bucket,

@@ -21,6 +21,7 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -274,6 +275,107 @@ def supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
     df = out.to_pandas()
     df["total_acctbal"] = df["bal_c"] / 100.0
     return df.drop(columns=["bal_c"])
+
+
+def top_users_by_value(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Grouped top-k with deterministic tie-break: per-batch partial sums ->
+    small grouped reduce -> exact cent-scaled ordering."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(), "v_c": _cents(t["value"], 10_000.0).to_numpy()}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).agg(v_c=("v_c", "sum"), n=("v_c", "size")),
+            preserve_index=False,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("v_c", alias_name="v_c"), Sum("n", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df["total_value"] = df["v_c"] / 10_000.0
+    df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(k)
+    return df[["user_id", "total_value", "n"]].reset_index(drop=True)
+
+
+def distinct_customers_per_status(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) via dedup-then-count (Ray has no distinct aggregate):
+    per-batch pair dedup -> global pair dedup (groupby) -> grouped count."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_custkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_orderstatus": t["o_orderstatus"].to_numpy(zero_copy_only=False),
+             "o_custkey": t["o_custkey"].to_numpy()}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    deduped = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_custkey"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    out = deduped.groupby("o_orderstatus").aggregate(Count(alias_name="n_customers"))
+    return out.to_pandas()
+
+
+def customers_without_orders(sf_dir: str, since: str = "1998-01-01") -> pd.DataFrame:
+    """Anti join via broadcast key set (never a shuffle join for a keyset):
+    customers with no orders on/after ``since``."""
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    keys = set(orders[orders["o_orderdate"] >= pd.Timestamp(since)]["o_custkey"])
+    ref = ray.put(keys)
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        have = ray.get(ref)
+        mask = ~pd.Series(t["c_custkey"].to_numpy()).isin(have)
+        return t.filter(pa.array(mask.to_numpy()))
+
+    df = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        df = pd.DataFrame(columns=["c_custkey", "c_name", "c_mktsegment"])
+    return df
+
+
+def user_running_value(sf_dir: str) -> pd.DataFrame:
+    """Per-key running (prefix) aggregate over event time — ordered per-key
+    processing via groupby(key).map_groups over ts-sorted groups."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["running_value"] = np.round(g["value"].cumsum(), 4)
+        return g[["user_id", "event_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def purchase_prev_event(sf_dir: str) -> pd.DataFrame:
+    """As-of lookup within a key: for every purchase, the immediately
+    preceding event of the same user (pd lag within sorted groups)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["prev_event_id"] = g["event_id"].shift(1)
+        g["prev_event_type"] = g["event_type"].shift(1)
+        out = g[(g["event_type"] == "purchase") & g["prev_event_id"].notna()]
+        return out[["user_id", "event_id", "prev_event_id", "prev_event_type"]]
+
+    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df["prev_event_id"] = df["prev_event_id"].astype("int64")
+    return df
 
 
 def order_priority_counts(sf_dir: str) -> pd.DataFrame:

@@ -61,6 +61,11 @@ def assert_parity(ray_df, sql: str):
         "supplier_balance_by_region",
         "order_priority_counts",
         "event_props_k_stats",
+        "top_users_by_value",
+        "distinct_customers_per_status",
+        "customers_without_orders",
+        "user_running_value",
+        "purchase_prev_event",
         "doc_exact_dedup",
         "doc_token_stats",
         "doc_quality_flags",
