@@ -238,10 +238,15 @@ def make_applier(
         lsn_max = int(pc.max(group["lsn"]).as_py())
 
         ops = group["op"].to_numpy(zero_copy_only=False)
-        # DDL replay must evolve the schema even on the fenced path so later
-        # epochs in this cycle start from the right schema
+        # DDL replay (in lsn order) must evolve the schema even on the fenced
+        # path so later epochs in this cycle start from the right schema
         n_ddl = 0
-        for sql in group.filter(pa.array(ops == "DDL"))["ddl_sql"].to_pylist():
+        ddl_rows = group.filter(pa.array(ops == "DDL"))
+        if ddl_rows.num_rows:
+            ddl_rows = ddl_rows.take(
+                pc.sort_indices(ddl_rows, sort_keys=[("lsn", "ascending")])
+            )
+        for sql in ddl_rows["ddl_sql"].to_pylist():
             schema.apply(sql)
             n_ddl += 1
         # TRUNCATE: every event (and all prior lake state) before its lsn dies.
@@ -267,23 +272,48 @@ def make_applier(
             existing["skipped"] = True
             return existing
 
+        lsn_all = group["lsn"].to_numpy()
         dml_mask = (ops != "DDL") & ~tr
         if truncate_lsn:
-            dml_mask &= group["lsn"].to_numpy() > truncate_lsn
-        dml = group.filter(pa.array(dml_mask))
-        counts = pd.Series(dml["op"].to_numpy(zero_copy_only=False)).value_counts()
+            dml_mask &= lsn_all > truncate_lsn
+        counts = pd.Series(ops[dml_mask]).value_counts()
 
-        # ---- typed materialization + epoch-level LWW compaction ----------
+        # ---- epoch-level LWW on NARROW columns, then materialize only the
+        # surviving rows (wide content never copied for superseded events) --
+        repo_all = group["pk_repo"].to_numpy(zero_copy_only=False)
+        path_all = group["pk_path"].to_numpy(zero_copy_only=False)
+
+        def _survivor_indices(exclude_lsns: set[int] | None = None) -> np.ndarray:
+            idx = np.flatnonzero(dml_mask)
+            if exclude_lsns:
+                idx = idx[~np.isin(lsn_all[idx], list(exclude_lsns))]
+            order = np.argsort(lsn_all[idx], kind="stable")
+            df = pd.DataFrame({"r": repo_all[idx[order]], "p": path_all[idx[order]]})
+            last = ~df.duplicated(keep="last").to_numpy()
+            return idx[order][last]  # lsn-ascending, one per key
+
+        dml = group.take(pa.array(_survivor_indices()))
         typed, poison = materialize_images(dml, schema, pk)
-        if poison is not None:
+        # rare path: a poison event won the LWW. Semantics: the poison event
+        # never existed (quarantined) — redo the LWW without it so the key's
+        # previous event wins instead; repeat while new winners are poison.
+        all_poison: list[pa.Table] = []
+        bad_lsns: set[int] = set()
+        while poison is not None:
+            all_poison.append(poison)
+            bad_lsns.update(poison["lsn"].to_pylist())
+            dml = group.take(pa.array(_survivor_indices(bad_lsns)))
+            typed, poison = materialize_images(dml, schema, pk)
+        if all_poison:
             qpath = os.path.join(
                 lake_dir, "_quarantine", f"p{pid:05d}_e{epoch:05d}.parquet"
             )
-            _atomic_write_parquet(poison, qpath)
+            _atomic_write_parquet(pa.concat_tables(all_poison), qpath)
+        poison = pa.concat_tables(all_poison) if all_poison else None
         if column_filter is not None:
             keep = [c for c in schema.names() if c in set(column_filter) | set(pk)]
             typed = typed.select(keep + [META_LSN, META_DELETED])
-        delta = lww_compact(typed, pk)
+        delta = typed  # already one row per key, lsn-ascending
 
         delta_rows = delta.num_rows
         if delta_rows or truncate_lsn:
@@ -293,10 +323,10 @@ def make_applier(
                 delta = delta.replace_schema_metadata(meta)
             _atomic_write_parquet(delta, delta_path)
 
-        # ---- lineage: hot-key counters (repo level) ----------------------
+        # ---- lineage: hot-key counters (repo level, pre-compaction) ------
         hot: dict[str, int] = {}
-        if dml.num_rows:
-            vc = pd.Series(dml["pk_repo"].to_numpy(zero_copy_only=False)).value_counts()
+        if dml_mask.any():
+            vc = pd.Series(repo_all[dml_mask]).value_counts()
             hot = {str(k): int(v) for k, v in vc.head(hot_n).items()}
 
         ckpt = {
@@ -325,7 +355,8 @@ def make_applier(
             return SUMMARY_SCHEMA.empty_table()
         pid = int(group["partition_id"][0].as_py())
         store = CheckpointStore(lake_dir)
-        group = group.take(pc.sort_indices(group, sort_keys=[("lsn", "ascending")]))
+        # no whole-group sort: epoch slicing and LWW run on narrow columns;
+        # only survivors are ever copied at full width (apply_epoch)
         lsns = group["lsn"].to_numpy()
 
         schema = TableSchema.from_json(start_schema_json)
