@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ------------------------------------------
         "ann_cosine_topk": A.ann_cosine_topk,
         "ann_lsh_topk": A.ann_lsh_topk,  # rows-only (approximate)
+        "ann_ivf_topk": A.ann_ivf_topk,  # rows-only (approximate)
         "label_centroid_norms": A.label_centroid_norms,
     }
 

@@ -153,6 +153,75 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 8, probes: int = 2) 
     return df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
 
+def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 4242) -> np.ndarray:
+    """Seeded Lloyd's k-means on unit vectors (public algorithm); returns
+    normalized centroids. Deterministic: fixed init sample + iteration count."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2_048,
+) -> pd.DataFrame:
+    """IVF ANN (the classic inverted-file index, public design): centroids
+    trained on a driver-side sample and broadcast; each batch assigns its
+    vectors to centroids and scores a query only against vectors in the
+    query's ``nprobe`` nearest clusters. At 10^10 scale the assignment
+    becomes a persisted bucket column and probing a bucket-groupby."""
+    qids, Q = _load_queries(sf_dir, n_queries)
+    sample = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = _matrix(sample["embedding"].head(train_sample))
+    C = _kmeans(X, n_clusters)
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    ref = ray.put((qids, Q, C, probe))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        _qids, _Q, _C, _probe = ray.get(ref)
+        M = _matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy()
+        assign = np.argmax(M @ _C.T, axis=1)
+        frames = []
+        for qi, qid in enumerate(_qids):
+            mask = np.isin(assign, _probe[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            S = _Q[qi] @ M[mask].T
+            frames.append(pd.DataFrame({"query_id": qid, "vec_id": ids[mask], "score": S}))
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(per_batch, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return out.to_pandas().astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+
+
 def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
     """Per-label centroid L2 norms — grouped vector aggregate via per-batch
     partial sums (one (label, sumvec, n) row per label per batch)."""

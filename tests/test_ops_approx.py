@@ -112,3 +112,24 @@ def test_ngram_jaccard_finds_planted_dups(ray_session, planted_docs):
         assert (i, 40 + i) in found  # exact dups at char level too
     near_found = sum((i, 45 + i - 5) in found for i in range(5, 10))
     assert near_found >= 4  # char 5-gram jaccard of 3/60-token edits is high
+
+
+def test_ivf_ann_recall(ray_session):
+    from canal_ray.ops.ann import ann_cosine_topk, ann_ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact = ann_cosine_topk(sf)
+    approx = ann_ivf_topk(sf, n_clusters=16, nprobe=6)
+    recall = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(approx[approx.query_id == q]["vec_id"])
+        recall.append(len(e & a) / len(e))
+    import numpy as np
+
+    assert np.mean(recall) > 0.4, f"IVF recall too low: {recall}"
+    # determinism across runs
+    approx2 = ann_ivf_topk(sf, n_clusters=16, nprobe=6)
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
