@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_building_order_revenue": R.building_segment_order_revenue,
         "supplier_balance_by_region": R.supplier_balance_by_region,
         "order_priority_counts": R.order_priority_counts,
+        "priority_item_stats": R.priority_item_stats,
         "event_props_k_stats": R.event_props_k_stats,
         "top_users_by_value": R.top_users_by_value,
         "distinct_customers_per_status": R.distinct_customers_per_status,

@@ -26,9 +26,9 @@ import time
 BENCH_ROOT = "/tmp/canal_ray_bench"
 # bench-scale fixture (cached across runs; regenerated only if params change)
 FIXTURE_PARAMS = dict(
-    n_base=200_000,
-    n_events=8_000_000,
-    n_segments=32,
+    n_base=400_000,
+    n_events=24_000_000,
+    n_segments=48,
     seed=101,
     content_scale=160.0,
 )
@@ -73,7 +73,7 @@ def run_cdc_replay(num_cpus: int) -> dict:
         base_table=os.path.join(_fixture_dir(), "base", "repos.parquet"),
         num_partitions=64,
         epoch_segments=4,  # fine-grained ack points ...
-        epochs_per_cycle=8,  # ... batched through one shuffle per cycle
+        epochs_per_cycle=13,  # ... batched through one shuffle per cycle
         decode_batch_size=128 * 1024,
     )
     t0 = time.perf_counter()

@@ -107,6 +107,13 @@ RELATIONAL_SQL: dict[str, str] = {
         WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderstatus = 'F'
         GROUP BY o_orderpriority
     """,
+    "priority_item_stats": """
+        SELECT o.o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
     "top_users_by_value": """
         WITH agg AS (
             SELECT user_id,

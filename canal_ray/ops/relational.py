@@ -277,6 +277,31 @@ def supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
     return df.drop(columns=["bal_c"])
 
 
+def priority_item_stats(sf_dir: str) -> pd.DataFrame:
+    """Large-large hash join via native ``Dataset.join`` (hash-partitioned on
+    the key, Ray >= 2.46): lineitem x orders -> per-priority item stats.
+    Quantities ride as exact int64 so the aggregate is order-independent."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "qty_i": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(od, join_type="inner", num_partitions=16, on=("o_orderkey",))
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("qty_i", alias_name="sum_qty_i")
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty_i"].astype("float64")
+    return df[["o_orderpriority", "n_items", "sum_qty"]]
+
+
 def top_users_by_value(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Grouped top-k with deterministic tie-break: per-batch partial sums ->
     small grouped reduce -> exact cent-scaled ordering."""

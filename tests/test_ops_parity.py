@@ -60,6 +60,7 @@ def assert_parity(ray_df, sql: str):
         "q3_building_order_revenue",
         "supplier_balance_by_region",
         "order_priority_counts",
+        "priority_item_stats",
         "event_props_k_stats",
         "top_users_by_value",
         "distinct_customers_per_status",
