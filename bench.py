@@ -52,14 +52,17 @@ def ensure_fixture() -> dict:
 
 
 def warm_cache() -> None:
-    """One untimed full read so both scaling runs measure compute + shuffle,
-    not cold disk (all columns — the wide content column dominates I/O)."""
-    import pyarrow.parquet as pq
-
+    """One untimed raw read so both scaling runs measure compute + shuffle,
+    not cold disk. Raw byte reads (no parquet decode) are enough to populate
+    the page cache and are ~5x faster than decoding."""
     from canal_ray.loggen import segment_paths
 
-    for p in segment_paths(_fixture_dir()):
-        pq.read_table(p)
+    for p in segment_paths(_fixture_dir()) + [
+        os.path.join(_fixture_dir(), "base", "repos.parquet")
+    ]:
+        with open(p, "rb", buffering=1 << 22) as f:
+            while f.read(1 << 24):
+                pass
 
 
 def run_cdc_replay(num_cpus: int) -> dict:

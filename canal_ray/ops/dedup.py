@@ -115,7 +115,13 @@ def minhash_signatures(sf_dir: str) -> pd.DataFrame:
 
 
 def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
-    """Explode signatures to (band_id, band_hash, doc_id) rows."""
+    """Explode signatures to (band_id, band_hash, doc_id, sig) rows.
+
+    The full signature rides along (one copy per band) so the bucket groupby
+    can estimate Jaccard in-group without any driver collect or broadcast —
+    the shuffle carries N_BANDS x 512B per doc, which is the price of fully
+    distributed candidate filtering.
+    """
     sigs = np.stack(df["sig"].to_numpy())  # (n, N_PERM)
     rows_per_band = N_PERM // N_BANDS
     out = []
@@ -126,7 +132,12 @@ def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
         ).astype(np.int64)
         out.append(
             pd.DataFrame(
-                {"band_id": b, "band_hash": bh, "doc_id": df["doc_id"].to_numpy()}
+                {
+                    "band_id": b,
+                    "band_hash": bh,
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "sig": df["sig"].to_numpy(),
+                }
             )
         )
     return pd.concat(out, ignore_index=True)
@@ -137,13 +148,21 @@ def minhash_lsh_dup_pairs(
     jaccard_threshold: float = 0.5,
     k: int = 3,
     mode: str = "word",
+    max_bucket: int = 64,
 ) -> pd.DataFrame:
-    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    """MinHash+LSH near-dup pairs with two-stage verification.
 
     shingle -> minhash (map_batches) -> band explode -> band-bucket groupby ->
-    candidate pairs -> verify true Jaccard -> (doc_a, doc_b, jaccard).
-    Candidate verification broadcasts candidate shingle sets (small at any
-    scale because LSH buckets are tiny); the bucket groupby is the shuffle.
+    candidate pairs -> vectorized signature-estimated Jaccard pre-filter ->
+    exact Jaccard verify on the survivors -> (doc_a, doc_b, jaccard).
+
+    Candidate control at scale: a band bucket larger than ``max_bucket`` is
+    truncated to its first ``max_bucket`` doc_ids (sorted) — an oversized
+    bucket means "everything in it matches everything", so pair enumeration
+    there is redundant for dedup (the survivors still chain the cluster via
+    union-find in :func:`minhash_dedup_keep`). Without the cap, a corpus of
+    highly-similar docs makes candidate pairs O(n^2) and verification time
+    explodes (observed: driver pinned for minutes at sf0.1).
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(
@@ -151,25 +170,58 @@ def minhash_lsh_dup_pairs(
     )
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-    pairs = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    est_floor = jaccard_threshold - 0.2
+    n_shards = 64  # Ray groups = (band, shard); buckets sub-grouped in pandas
+    bands = bands.map_batches(
+        lambda df: df.assign(shard=(df["band_hash"].to_numpy() % n_shards)),
+        batch_format="pandas",
     )
-    if pairs.empty:
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One Ray group = many band buckets (a shard); buckets resolved with
+        a pandas C-path groupby, pair enumeration only for buckets >= 2 docs.
+        Avoids Ray's per-group dispatch cost across thousands of tiny buckets."""
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, bucket in g.groupby("band_hash", sort=False):
+            bucket = bucket.drop_duplicates(subset=["doc_id"])
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values("doc_id").head(max_bucket)
+            ids = bucket["doc_id"].to_numpy()
+            S = np.stack(bucket["sig"].to_numpy())
+            a, b = np.triu_indices(len(ids), k=1)
+            est = (S[a] == S[b]).mean(axis=1)
+            keep = est >= est_floor
+            if keep.any():
+                out_a.append(ids[a[keep]])
+                out_b.append(ids[b[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
         return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")}
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         )
 
-    # verify: broadcast shingle sets of candidate docs only
+    pairs = (
+        bands.groupby(["band_id", "shard"])
+        .map_groups(shard_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    if pairs.empty:
+        return empty
+
+    # stage 2: exact verify with broadcast shingle sets of the survivors only
     cand_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
 
     def collect_shingles(batch: pd.DataFrame) -> pd.DataFrame:
