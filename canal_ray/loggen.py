@@ -269,6 +269,14 @@ def generate_fixture(
         stars_big = rng.integers(0, 10**12, size=n_ev)
         lic = rng.integers(0, len(_LICENSES), size=n_ev)
 
+        # noise events for a second table (exercises regex filter + routing);
+        # pk = (id, note-kind) so a multi-table job can subscribe to it
+        ops[noise] = "INSERT"
+        # heartbeat liveness events (EventType.MHEARTBEAT analog) — no table,
+        # no payload; consumers must skip them while their lsns advance
+        hb = (lsns % 997 == 0) & ~ddl_mask & ~noise & ~tr_mask
+        ops[hb] = "MHEARTBEAT"
+
         has_image = ((ops == "INSERT") | (ops == "UPDATE")) & ~noise
         has_stars = lsns > stars_lsn
         widened = lsns > widen_lsn
@@ -278,46 +286,62 @@ def generate_fixture(
         path_arr = keys.path[key_idx]
         lang_arr = keys.lang[key_idx]
 
-        # build cols/vals list columns (string transport, Canal Column model)
-        cols_out: list[list[str] | None] = [None] * n_ev
-        vals_out: list[list[str] | None] = [None] * n_ev
-        img_positions = np.flatnonzero(has_image)
-        for i in img_positions:
-            names = list(BASE_COLS)
-            v = [
-                repo_arr[i],
-                path_arr[i],
-                commit[i],
-                lang_arr[i],
-                pool_strings[cid[i]] + f"\n# rev {lsns[i]}",
-            ]
-            if has_stars[i]:
-                names.append("stars")
-                v.append(str(stars_big[i] if widened[i] else stars_small[i]))
-            if has_license[i]:
-                names.append("license")
-                v.append(_LICENSES[lic[i]])
-            cols_out[i] = names
-            vals_out[i] = v
-        # noise events for a second table (exercises regex filter + routing);
-        # pk = (id, note-kind) so a multi-table job can subscribe to it
-        for i in np.flatnonzero(noise):
-            ops[i] = "INSERT"
-            cols_out[i] = ["id", "note"]
-            vals_out[i] = [str(int(lsns[i])), f"audit row {int(lsns[i]) % 7}"]
+        # build cols/vals list columns vectorized (string transport, Canal
+        # Column model): one flat values buffer + offsets; null offsets mark
+        # image-less rows (DELETE/DDL/TRUNCATE/HEARTBEAT)
+        widths = np.zeros(n_ev, dtype=np.int64)
+        widths[has_image] = (
+            5
+            + has_stars[has_image].astype(np.int64)
+            + has_license[has_image].astype(np.int64)
+        )
+        widths[noise] = 2
+        cum = np.concatenate([[0], np.cumsum(widths)])
+        val_buf = np.empty(int(cum[-1]), dtype=object)
+        col_buf = np.empty(int(cum[-1]), dtype=object)
+        starts = cum[:-1]
 
-        # heartbeat liveness events (EventType.MHEARTBEAT analog) — no table,
-        # no payload; consumers must skip them while their lsns advance
-        hb = (lsns % 997 == 0) & ~ddl_mask & ~noise & ~tr_mask
-        ops[hb] = "MHEARTBEAT"
-        for i in np.flatnonzero(hb):
-            cols_out[i] = None
-            vals_out[i] = None
+        img = has_image
+        s_img = starts[img]
+        pool_arr = np.array(pool_strings, dtype=object)
+        rev_sfx = np.add(
+            np.full(int(img.sum()), "\n# rev ", dtype=object),
+            np.char.mod("%d", lsns[img]).astype(object),
+        )
+        val_buf[s_img + 0] = repo_arr[img]
+        val_buf[s_img + 1] = path_arr[img]
+        val_buf[s_img + 2] = commit[img]
+        val_buf[s_img + 3] = lang_arr[img]
+        val_buf[s_img + 4] = np.add(pool_arr[cid[img]], rev_sfx)
+        for j, name in enumerate(BASE_COLS):
+            col_buf[s_img + j] = name
+        w6 = img & (widths >= 6)
+        stars_str = np.where(
+            widened,
+            np.char.mod("%d", stars_big).astype(object),
+            np.char.mod("%d", stars_small).astype(object),
+        )
+        val_buf[starts[w6] + 5] = stars_str[w6]
+        col_buf[starts[w6] + 5] = "stars"
+        w7 = img & (widths == 7)
+        lic_arr = np.array(_LICENSES, dtype=object)[lic]
+        val_buf[starts[w7] + 6] = lic_arr[w7]
+        col_buf[starts[w7] + 6] = "license"
+        s_noise = starts[noise]
+        val_buf[s_noise + 0] = np.char.mod("%d", lsns[noise]).astype(object)
+        val_buf[s_noise + 1] = np.add(
+            np.full(int(noise.sum()), "audit row ", dtype=object),
+            np.char.mod("%d", lsns[noise] % 7).astype(object),
+        )
+        col_buf[s_noise + 0] = "id"
+        col_buf[s_noise + 1] = "note"
 
-        # TRUNCATE rows carry no image either
-        for i in np.flatnonzero(tr_mask):
-            cols_out[i] = None
-            vals_out[i] = None
+        offsets_obj = cum.astype(object)
+        for i in np.flatnonzero(widths == 0):
+            offsets_obj[i] = None
+        pa_offsets = pa.array(offsets_obj, type=pa.int32())
+        vals_arr = pa.ListArray.from_arrays(pa_offsets, pa.array(val_buf, type=pa.string()))
+        cols_arr = pa.ListArray.from_arrays(pa_offsets, pa.array(col_buf, type=pa.string()))
 
         table_name = np.where(noise, "audit", "repos").astype(object)
         table_name[ddl_mask | tr_mask] = "repos"
@@ -339,14 +363,14 @@ def generate_fixture(
                 "lsn": pa.array(lsns, type=pa.int64()),
                 "segment": pa.array(np.full(n_ev, seg, dtype=np.int32)),
                 "txn_id": pa.array(txn_rep.astype(np.int64)),
-                "op": pa.array(list(ops), type=pa.string()),
+                "op": pa.array(ops, type=pa.string()),
                 "schema_name": pa.array(["mytest"] * n_ev, type=pa.string()),
-                "table_name": pa.array(list(table_name), type=pa.string()),
-                "pk_repo": pa.array(list(pk_repo), type=pa.string()),
-                "pk_path": pa.array(list(pk_path), type=pa.string()),
-                "cols": pa.array(cols_out, type=pa.list_(pa.string())),
-                "vals": pa.array(vals_out, type=pa.list_(pa.string())),
-                "ddl_sql": pa.array(list(ddl_sql), type=pa.string()),
+                "table_name": pa.array(table_name, type=pa.string()),
+                "pk_repo": pa.array(pk_repo, type=pa.string()),
+                "pk_path": pa.array(pk_path, type=pa.string()),
+                "cols": cols_arr,
+                "vals": vals_arr,
+                "ddl_sql": pa.array(ddl_sql, type=pa.string()),
                 "execute_time": pa.array(EPOCH_MS + lsns * 10, type=pa.timestamp("ms")),
             },
             schema=LOG_SCHEMA,
