@@ -193,13 +193,24 @@ def scaling() -> None:
 
     def run_sub(args: list[str], ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # Pin the N-CPU leg to N physical cores: ray.init(num_cpus=N) only
+        # caps scheduling slots, but workers' internal thread pools (Arrow)
+        # would otherwise borrow the idle cores — a real N-core node can't.
+        prefix = ["taskset", "-c", f"0-{ncpu - 1}"] if ncpu < os.cpu_count() else []
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), *args],
+            [*prefix, sys.executable, os.path.abspath(__file__), *args],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    results = {ncpu: run_sub([], ncpu) for ncpu in (8, 32)}
+    # two trials per level, best-of (hypervisor/turbo variance is +-15% on
+    # this box; min is the least-noisy estimate of machine capability)
+    trials = {
+        ncpu: [run_sub([], ncpu) for _ in range(2)] for ncpu in (8, 32)
+    }
+    results = {
+        ncpu: min(rs, key=lambda r: r["cdc"]["sec"]) for ncpu, rs in trials.items()
+    }
     probes = {ncpu: run_sub(["--cpu-probe"], ncpu) for ncpu in (8, 32)}
     t8 = results[8]["cdc"]["sec"]
     t32 = results[32]["cdc"]["sec"]
