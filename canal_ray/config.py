@@ -67,6 +67,11 @@ class CdcConfig:
     filter_dml_update: bool = False
     filter_dml_delete: bool = False
     filter_ddl: bool = False  # LogEventConvert.java:98-105 (filterQueryDdl)
+    # minimal row images present (binlog_row_image=MINIMAL analog): UPDATE
+    # events may carry only the changed columns; the sink folds patches
+    # column-wise instead of row-level LWW, and decode pre-compaction is
+    # disabled (a later patch does not supersede an earlier full image)
+    partial_updates: bool = False
     hot_key_top_n: int = 8  # per-partition skew counter size (lineage)
 
     # free-form extras for experiments

@@ -40,7 +40,10 @@ import pyarrow.compute as pc
 from canal_ray.config import CdcConfig
 from canal_ray.partition import partition_ids
 
-# post-decode wire format (what the one shuffle actually moves)
+# post-decode wire format (what the one shuffle actually moves).
+# patch_cols is null for full images (their column set is the schema prefix
+# identified by img_len) and carries the column-name list ONLY for minimal
+# row images (patches), whose column sets are arbitrary.
 DECODED_SCHEMA = pa.schema(
     [
         pa.field("lsn", pa.int64()),
@@ -50,13 +53,31 @@ DECODED_SCHEMA = pa.schema(
         pa.field("vals", pa.list_(pa.string())),
         pa.field("ddl_sql", pa.string()),
         pa.field("img_len", pa.int32()),
+        pa.field("patch_cols", pa.list_(pa.string())),
         pa.field("partition_id", pa.int32()),
     ]
 )
 
 
-def _project(batch: pa.Table) -> pa.Table:
+def _project(batch: pa.Table, pk0: str) -> pa.Table:
     img_len = pc.fill_null(pc.list_value_length(batch["vals"]), 0)
+    carr = batch["cols"].combine_chunks()
+    valid = pc.is_valid(carr).to_numpy(zero_copy_only=False)
+    if valid.any():
+        off = carr.offsets.to_numpy(zero_copy_only=False)[:-1]
+        lengths = pc.fill_null(pc.list_value_length(carr), 0).to_numpy(
+            zero_copy_only=False
+        )
+        safe = np.where(valid & (lengths > 0), off, 0)
+        firsts = carr.values.take(pa.array(safe))
+        is_patch = valid & (lengths > 0) & (
+            pc.not_equal(firsts, pa.scalar(pk0)).to_numpy(zero_copy_only=False)
+        )
+        patch_cols = pc.if_else(
+            pa.array(is_patch), carr, pa.nulls(len(carr), type=carr.type)
+        )
+    else:
+        patch_cols = pa.nulls(batch.num_rows, type=pa.list_(pa.string()))
     return pa.table(
         {
             "lsn": batch["lsn"],
@@ -66,6 +87,7 @@ def _project(batch: pa.Table) -> pa.Table:
             "vals": batch["vals"],
             "ddl_sql": batch["ddl_sql"],
             "img_len": pc.cast(img_len, pa.int32()),
+            "patch_cols": patch_cols,
             "partition_id": batch["partition_id"],
         },
         schema=DECODED_SCHEMA,
@@ -129,16 +151,21 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
         pid = np.full(n, -1, dtype=np.int32)
         idx = np.flatnonzero(dml_keep)
         if idx.size:
-            lsn = batch["lsn"].to_numpy()[idx]
             repo = batch["pk_repo"].to_numpy(zero_copy_only=False)[idx]
             path = batch["pk_path"].to_numpy(zero_copy_only=False)[idx]
-            order = np.argsort(lsn, kind="stable")
-            df = pd.DataFrame({"r": repo[order], "p": path[order]})
-            last = ~df.duplicated(keep="last").to_numpy()
-            dropped = idx[order][~last]
-            dml_keep[dropped] = False
-            sel = np.isin(idx, np.flatnonzero(dml_keep))  # survivors, idx-aligned
-            pid[idx[sel]] = partition_ids(repo[sel], path[sel], num_partitions)
+            if not cfg.partial_updates:
+                # LWW pre-compaction is only sound for full row images: a
+                # later patch does not supersede an earlier full image
+                lsn = batch["lsn"].to_numpy()[idx]
+                order = np.argsort(lsn, kind="stable")
+                df = pd.DataFrame({"r": repo[order], "p": path[order]})
+                last = ~df.duplicated(keep="last").to_numpy()
+                dropped = idx[order][~last]
+                dml_keep[dropped] = False
+                sel = np.isin(idx, np.flatnonzero(dml_keep))  # survivors
+                pid[idx[sel]] = partition_ids(repo[sel], path[sel], num_partitions)
+            else:
+                pid[idx] = partition_ids(repo, path, num_partitions)
 
         out = []
         if dml_keep.any():
@@ -159,6 +186,6 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
                 )
         if not out:
             return DECODED_SCHEMA.empty_table()
-        return _project(pa.concat_tables(out))
+        return _project(pa.concat_tables(out), cfg.pk_columns[0])
 
     return decode

@@ -142,6 +142,7 @@ def generate_fixture(
     p_noise: float = 0.01,
     hot_frac: float = 0.2,
     truncate_at: float | None = None,
+    p_partial: float = 0.0,
     force: bool = False,
 ) -> dict:
     """Generate base table + binlog segments; returns the fixture meta dict.
@@ -154,7 +155,7 @@ def generate_fixture(
         n_base=n_base, n_events=n_events, n_segments=n_segments, seed=seed,
         zipf_s=zipf_s, content_scale=content_scale, p_insert=p_insert,
         p_update=p_update, p_noise=p_noise, hot_frac=hot_frac,
-        truncate_at=truncate_at, version=5,
+        truncate_at=truncate_at, p_partial=p_partial, version=5,
     )
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -282,6 +283,20 @@ def generate_fixture(
         widened = lsns > widen_lsn
         has_license = lsns > license_lsn
 
+        # partial (minimal row image) updates: a subset of non-PK columns
+        # only — Canal's Column.updated-flags semantics (binlog_row_image=
+        # MINIMAL; RdbSyncService updates only changed columns). Drawn only
+        # when enabled so default fixtures stay byte-identical.
+        partial = np.zeros(n_ev, dtype=bool)
+        patch_bits = None
+        if p_partial > 0:
+            partial = (rng.random(n_ev) < p_partial) & (ops == "UPDATE") & ~noise
+            # bits: commit, lang, content, stars, license (schema order)
+            patch_bits = rng.integers(0, 2, size=(n_ev, 5)).astype(bool)
+            patch_bits[:, 3] &= has_stars
+            patch_bits[:, 4] &= has_license
+            patch_bits[~patch_bits.any(axis=1), 0] = True  # at least commit
+
         repo_arr = keys.repo[key_idx]
         path_arr = keys.path[key_idx]
         lang_arr = keys.lang[key_idx]
@@ -295,13 +310,15 @@ def generate_fixture(
             + has_stars[has_image].astype(np.int64)
             + has_license[has_image].astype(np.int64)
         )
+        if partial.any():
+            widths[partial] = patch_bits[partial].sum(axis=1)
         widths[noise] = 2
         cum = np.concatenate([[0], np.cumsum(widths)])
         val_buf = np.empty(int(cum[-1]), dtype=object)
         col_buf = np.empty(int(cum[-1]), dtype=object)
         starts = cum[:-1]
 
-        img = has_image
+        img = has_image & ~partial
         s_img = starts[img]
         pool_arr = np.array(pool_strings, dtype=object)
         rev_sfx = np.add(
@@ -327,6 +344,41 @@ def generate_fixture(
         lic_arr = np.array(_LICENSES, dtype=object)[lic]
         val_buf[starts[w7] + 6] = lic_arr[w7]
         col_buf[starts[w7] + 6] = "license"
+        if partial.any():
+            # pattern-wise fill for patch images (<=32 distinct subsets)
+            patch_names = np.array(
+                ["commit", "lang", "content", "stars", "license"], dtype=object
+            )
+            content_all = None  # built lazily per pattern needing content
+            pattern_ids = patch_bits @ (1 << np.arange(5))
+            for pid_v in np.unique(pattern_ids[partial]):
+                rows = partial & (pattern_ids == pid_v)
+                bits = [(pid_v >> j) & 1 for j in range(5)]
+                pos = 0
+                for j, on in enumerate(bits):
+                    if not on:
+                        continue
+                    name = patch_names[j]
+                    if name == "commit":
+                        v = commit[rows]
+                    elif name == "lang":
+                        v = lang_arr[rows]
+                    elif name == "content":
+                        v = np.add(
+                            pool_arr[cid[rows]],
+                            np.add(
+                                np.full(int(rows.sum()), "\n# rev ", dtype=object),
+                                np.char.mod("%d", lsns[rows]).astype(object),
+                            ),
+                        )
+                    elif name == "stars":
+                        v = stars_str[rows]
+                    else:
+                        v = lic_arr[rows]
+                    val_buf[starts[rows] + pos] = v
+                    col_buf[starts[rows] + pos] = name
+                    pos += 1
+
         s_noise = starts[noise]
         val_buf[s_noise + 0] = np.char.mod("%d", lsns[noise]).astype(object)
         val_buf[s_noise + 1] = np.add(

@@ -72,6 +72,11 @@ def replay_oracle(
             key = (row["pk_repo"], row["pk_path"])
             if row["op"] == "DELETE":
                 state.pop(key, None)
+            elif row["cols"] and row["cols"][0] != "repo":
+                # minimal row image (patch): update listed columns only;
+                # UPDATE on an absent row is a no-op (RdbSyncService semantics)
+                if key in state:
+                    state[key].update(dict(zip(row["cols"], row["vals"])))
             else:  # INSERT / UPDATE -> put full image
                 img = dict(zip(row["cols"], row["vals"]))
                 state[key] = img

@@ -48,6 +48,10 @@ from canal_ray.ddl import TableSchema
 
 META_LSN = "_lsn"
 META_DELETED = "_deleted"
+# per-row column-set bitmask (bit i = schema column i was SET by this event):
+# -1 = full row image (replaces everything), 0 = tombstone, else = patch
+# (minimal row image; Canal's Column.updated-flags semantics)
+META_MASK = "_mask"
 
 SUMMARY_SCHEMA = pa.schema(
     [
@@ -100,12 +104,22 @@ def materialize_images(
     """
     names = schema.names()
     arrow_schema = schema.to_arrow()
+    pieces: list[pa.Table] = []
+    poison_pieces: list[pa.Table] = []
+
+    # ---- patch rows (minimal images): arbitrary column subsets -----------
+    if "patch_cols" in dml.column_names:
+        pmask = pc.is_valid(dml["patch_cols"]).to_numpy(zero_copy_only=False)
+        if pmask.any():
+            patches = dml.filter(pa.array(pmask))
+            dml = dml.filter(pa.array(~pmask))
+            p_pieces, p_poison = _materialize_patches(patches, schema, pk)
+            pieces.extend(p_pieces)
+            poison_pieces.extend(p_poison)
+
     n = dml.num_rows
     ops = dml["op"].to_numpy(zero_copy_only=False)
     lengths = dml["img_len"].to_numpy(zero_copy_only=False)
-
-    pieces: list[pa.Table] = []
-    poison_pieces: list[pa.Table] = []
     for length in np.unique(lengths):
         mask = lengths == length
         sub = dml.filter(pa.array(mask))
@@ -152,16 +166,145 @@ def materialize_images(
             cols[pk[0]] = pc.coalesce(cols[pk[0]], sub["pk_repo"])
             cols[pk[1]] = pc.coalesce(cols[pk[1]], sub["pk_path"])
         cols[META_LSN] = sub["lsn"].combine_chunks() if isinstance(sub["lsn"], pa.ChunkedArray) else sub["lsn"]
-        cols[META_DELETED] = pa.array(sub_ops == "DELETE")
+        deleted = sub_ops == "DELETE"
+        cols[META_DELETED] = pa.array(deleted)
+        cols[META_MASK] = pa.array(np.where(deleted, 0, -1).astype(np.int64))
         pieces.append(pa.table(cols))
     poison = pa.concat_tables(poison_pieces) if poison_pieces else None
     if not pieces:
         fields = list(arrow_schema) + [
             pa.field(META_LSN, pa.int64()),
             pa.field(META_DELETED, pa.bool_()),
+            pa.field(META_MASK, pa.int64()),
         ]
         return pa.schema(fields).empty_table(), poison
     return pa.concat_tables(pieces, promote_options="permissive"), poison
+
+
+def _materialize_patches(
+    patches: pa.Table, schema: TableSchema, pk: tuple[str, str]
+) -> tuple[list[pa.Table], list[pa.Table]]:
+    """Typed pieces for minimal-image rows, grouped by exact column set.
+
+    The bitmask convention: bit i of META_MASK = schema column i set by the
+    event — stable across additive evolution because column positions never
+    change (the prefix invariant)."""
+    names = schema.names()
+    arrow_schema = schema.to_arrow()
+    joined = pc.binary_join(patches["patch_cols"], "\x1f")
+    d = pc.dictionary_encode(joined).combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    pieces: list[pa.Table] = []
+    poison: list[pa.Table] = []
+    for code, pattern in enumerate(d.dictionary.to_pylist()):
+        sub = patches.filter(pa.array(codes == code))
+        set_names = pattern.split("\x1f")
+        unknown = [s for s in set_names if s not in names]
+        if unknown:
+            raise ValueError(f"patch names {unknown} not in schema {names}")
+        mask_val = 0
+        for s in set_names:
+            mask_val |= 1 << names.index(s)
+        # poison scan on numeric patch columns
+        bad = np.zeros(sub.num_rows, dtype=bool)
+        for pos, s in enumerate(set_names):
+            typ = arrow_schema.field(s).type
+            if not pa.types.is_string(typ):
+                raw = pc.list_element(sub["vals"], pos)
+                pattern_re = (
+                    r"^-?\d+$" if pa.types.is_integer(typ)
+                    else r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+                )
+                ok = pc.fill_null(pc.match_substring_regex(raw, pattern_re), True)
+                bad |= ~ok.to_numpy(zero_copy_only=False)
+        if bad.any():
+            poison.append(sub.filter(pa.array(bad)))
+            sub = sub.filter(pa.array(~bad))
+            if sub.num_rows == 0:
+                continue
+        cols: dict[str, pa.Array] = {}
+        for name in names:
+            typ = arrow_schema.field(name).type
+            if name in set_names:
+                arr = pc.list_element(sub["vals"], set_names.index(name))
+                if not pa.types.is_string(typ):
+                    arr = pc.cast(arr, typ)
+            elif name == pk[0]:
+                arr = sub["pk_repo"].combine_chunks()
+            elif name == pk[1]:
+                arr = sub["pk_path"].combine_chunks()
+            else:
+                arr = pa.nulls(sub.num_rows, type=typ)
+            cols[name] = arr
+        cols[META_LSN] = sub["lsn"].combine_chunks()
+        cols[META_DELETED] = pa.array(np.zeros(sub.num_rows, dtype=bool))
+        cols[META_MASK] = pa.array(np.full(sub.num_rows, mask_val, dtype=np.int64))
+        pieces.append(pa.table(cols))
+    return pieces, poison
+
+
+def fold_rows(table: pa.Table, pk: tuple[str, str], *, terminal: bool) -> pa.Table:
+    """Column-wise fold of full images, patches and tombstones per key.
+
+    Walks each key's events newest-first: pending patches accumulate until a
+    boundary (full image -> overlay and finalize; tombstone -> patches above
+    it die, tombstone survives for cross-epoch kills). Keys that never hit a
+    boundary are merged-patch rows when ``terminal=False`` (resolution
+    deferred to the lake merge) and DROPPED when ``terminal=True`` (a patch
+    with no underlying row is the reference's UPDATE-on-missing no-op,
+    ``RdbSyncService.java:320-399`` update affects 0 rows).
+    """
+    if table.num_rows == 0:
+        return table
+    t = table.take(pc.sort_indices(table, sort_keys=[(META_LSN, "descending")]))
+    names = [c for c in t.column_names if c not in (META_LSN, META_DELETED, META_MASK)]
+    rows = t.to_pylist()
+    done: dict = {}
+    acc: dict = {}
+    order: list = []
+    for row in rows:
+        k = (row[pk[0]], row[pk[1]])
+        if k in done:
+            continue
+        a = acc.get(k)
+        if a is None:
+            a = {"vals": {}, "mask": 0, "lsn": row[META_LSN]}
+            acc[k] = a
+            order.append(k)
+        if row[META_DELETED]:
+            done[k] = {"deleted": True}
+        elif row[META_MASK] == -1:
+            final = {c: row[c] for c in names}
+            final.update(a["vals"])  # later patches override
+            done[k] = {"deleted": False, "vals": final, "mask": -1}
+        else:
+            m = row[META_MASK]
+            for i, c in enumerate(names):
+                if (m >> i) & 1 and c not in a["vals"]:
+                    a["vals"][c] = row[c]
+            a["mask"] |= m
+    out = []
+    for k in order:
+        a = acc[k]
+        if k in done:
+            d = done[k]
+            if d["deleted"]:
+                rec = {c: None for c in names}
+                rec[pk[0]], rec[pk[1]] = k
+                rec.update({META_LSN: a["lsn"], META_DELETED: True, META_MASK: 0})
+            else:
+                rec = dict(d["vals"])
+                rec.update({META_LSN: a["lsn"], META_DELETED: False, META_MASK: -1})
+        else:
+            if terminal:
+                continue  # patch with no base anywhere -> no-op
+            rec = {c: a["vals"].get(c) for c in names}
+            rec[pk[0]], rec[pk[1]] = k
+            rec.update({META_LSN: a["lsn"], META_DELETED: False, META_MASK: a["mask"]})
+        out.append(rec)
+    if not out:
+        return t.schema.empty_table()
+    return pa.Table.from_pylist(out, schema=t.schema)
 
 
 def lww_compact(table: pa.Table, pk: tuple[str, str]) -> pa.Table:
@@ -201,6 +344,11 @@ def conform(table: pa.Table, schema: TableSchema, *, with_meta: bool) -> pa.Tabl
             if META_DELETED in table.column_names
             else pa.array(np.zeros(table.num_rows, dtype=bool))
         )
+        cols[META_MASK] = (
+            table[META_MASK]
+            if META_MASK in table.column_names
+            else pa.array(np.full(table.num_rows, -1, dtype=np.int64))
+        )
     return pa.table(cols)
 
 
@@ -224,6 +372,10 @@ def make_applier(
     lake_dir = cfg.lake_dir
     hot_n = cfg.hot_key_top_n
     column_filter = cfg.column_filter
+    if column_filter is not None and cfg.partial_updates:
+        # META_MASK bits index the FULL schema; projecting columns away would
+        # desynchronize them — combine the features only after re-mapping
+        raise ValueError("column_filter cannot be combined with partial_updates")
 
     def apply_epoch(
         store: CheckpointStore,
@@ -292,28 +444,46 @@ def make_applier(
             last = ~df.duplicated(keep="last").to_numpy()
             return idx[order][last]  # lsn-ascending, one per key
 
-        dml = group.take(pa.array(_survivor_indices()))
-        typed, poison = materialize_images(dml, schema, pk)
-        # rare path: a poison event won the LWW. Semantics: the poison event
-        # never existed (quarantined) — redo the LWW without it so the key's
-        # previous event wins instead; repeat while new winners are poison.
-        all_poison: list[pa.Table] = []
-        bad_lsns: set[int] = set()
-        while poison is not None:
-            all_poison.append(poison)
-            bad_lsns.update(poison["lsn"].to_pylist())
-            dml = group.take(pa.array(_survivor_indices(bad_lsns)))
+        if cfg.partial_updates:
+            # patches present: no pre-reduction is sound — materialize all
+            # events and fold column-wise per key (poison rows are simply
+            # excluded by materialize; 'never existed' holds directly)
+            dml = group.filter(pa.array(dml_mask))
             typed, poison = materialize_images(dml, schema, pk)
-        if all_poison:
-            qpath = os.path.join(
-                lake_dir, "_quarantine", f"p{pid:05d}_e{epoch:05d}.parquet"
+            if poison is not None:
+                _atomic_write_parquet(
+                    poison,
+                    os.path.join(
+                        lake_dir, "_quarantine", f"p{pid:05d}_e{epoch:05d}.parquet"
+                    ),
+                )
+            delta = fold_rows(typed, pk, terminal=False)
+            delta = delta.take(
+                pc.sort_indices(delta, sort_keys=[(META_LSN, "ascending")])
             )
-            _atomic_write_parquet(pa.concat_tables(all_poison), qpath)
-        poison = pa.concat_tables(all_poison) if all_poison else None
+        else:
+            dml = group.take(pa.array(_survivor_indices()))
+            typed, poison = materialize_images(dml, schema, pk)
+            # rare path: a poison event won the LWW. Semantics: the poison
+            # event never existed (quarantined) — redo the LWW without it so
+            # the key's previous event wins; repeat while winners are poison.
+            all_poison: list[pa.Table] = []
+            bad_lsns: set[int] = set()
+            while poison is not None:
+                all_poison.append(poison)
+                bad_lsns.update(poison["lsn"].to_pylist())
+                dml = group.take(pa.array(_survivor_indices(bad_lsns)))
+                typed, poison = materialize_images(dml, schema, pk)
+            if all_poison:
+                qpath = os.path.join(
+                    lake_dir, "_quarantine", f"p{pid:05d}_e{epoch:05d}.parquet"
+                )
+                _atomic_write_parquet(pa.concat_tables(all_poison), qpath)
+            poison = pa.concat_tables(all_poison) if all_poison else None
+            delta = typed  # already one row per key, lsn-ascending
         if column_filter is not None:
             keep = [c for c in schema.names() if c in set(column_filter) | set(pk)]
-            typed = typed.select(keep + [META_LSN, META_DELETED])
-        delta = typed  # already one row per key, lsn-ascending
+            delta = delta.select(keep + [META_LSN, META_DELETED, META_MASK])
 
         delta_rows = delta.num_rows
         if delta_rows or truncate_lsn:
@@ -424,9 +594,13 @@ def merge_partition(part_dir: str, schema: TableSchema, pk: tuple[str, str]) -> 
     merged = pa.concat_tables(tables, promote_options="permissive")
     if truncate_lsn:
         merged = merged.filter(pc.greater(merged[META_LSN], truncate_lsn))
-    merged = lww_compact(merged, pk)
+    m = merged[META_MASK].to_numpy()
+    if ((m != -1) & (m != 0)).any():  # patches present -> column-wise fold
+        merged = fold_rows(merged, pk, terminal=True)
+    else:
+        merged = lww_compact(merged, pk)
     live = merged.filter(pc.invert(merged[META_DELETED]))
-    return live.drop_columns([META_DELETED])
+    return live.drop_columns([META_DELETED, META_MASK])
 
 
 class LakeMerger:
