@@ -256,6 +256,34 @@ def fold_rows(table: pa.Table, pk: tuple[str, str], *, terminal: bool) -> pa.Tab
     """
     if table.num_rows == 0:
         return table
+    # fast path: keys whose events are all full images / tombstones reduce by
+    # plain LWW (vectorized); only keys touched by at least one patch need
+    # the per-key python walk — patches are typically a small minority.
+    masks_np = table[META_MASK].to_numpy()
+    is_patch_row = (masks_np != -1) & (masks_np != 0)
+    if is_patch_row.any():
+        rkey = pd.DataFrame(
+            {
+                "r": table[pk[0]].to_numpy(zero_copy_only=False),
+                "p": table[pk[1]].to_numpy(zero_copy_only=False),
+            }
+        )
+        patch_keys = rkey[is_patch_row].drop_duplicates()
+        touched = rkey.merge(
+            patch_keys.assign(_t=True), on=["r", "p"], how="left"
+        )["_t"].notna().to_numpy()
+    else:
+        touched = np.zeros(table.num_rows, dtype=bool)
+    if not touched.all():
+        plain = lww_compact(table.filter(pa.array(~touched)), pk)
+        if not touched.any():
+            return plain
+        folded = _fold_rows_python(table.filter(pa.array(touched)), pk, terminal)
+        return pa.concat_tables([plain, folded], promote_options="permissive")
+    return _fold_rows_python(table, pk, terminal)
+
+
+def _fold_rows_python(table: pa.Table, pk: tuple[str, str], terminal: bool) -> pa.Table:
     t = table.take(pc.sort_indices(table, sort_keys=[(META_LSN, "descending")]))
     names = [c for c in t.column_names if c not in (META_LSN, META_DELETED, META_MASK)]
     rows = t.to_pylist()

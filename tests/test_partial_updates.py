@@ -117,3 +117,21 @@ def test_column_filter_partial_conflict(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="column_filter"):
         make_applier(cfg, [(1, 1, 2)], [["repo", "string"], ["path", "string"]])
+
+
+def test_partial_updates_scatter_exchange(ray_session, tmp_path):
+    """Patches + the scatter (disk fragment) exchange compose correctly."""
+    d = str(tmp_path / "fix")
+    generate_fixture(
+        d, n_base=400, n_events=5_000, n_segments=4, seed=73, p_partial=0.35
+    )
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet",
+        num_partitions=4, epoch_segments=2, epochs_per_cycle=2,
+        partial_updates=True, exchange="scatter",
+    )
+    job = CdcJob(cfg)
+    job.run()
+    oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
+    assert state_digest(job.state_pandas()) == state_digest(oracle_df)
