@@ -91,7 +91,10 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 def materialize_images(
-    dml: pa.Table, schema: TableSchema, pk: tuple[str, str]
+    dml: pa.Table,
+    schema: TableSchema,
+    pk: tuple[str, str],
+    allow_patches: bool = True,
 ) -> tuple[pa.Table, pa.Table | None]:
     """Typed payload table for DML rows (any mix of image widths + DELETEs),
     plus the quarantined poison rows (un-castable values) in wire format.
@@ -111,6 +114,13 @@ def materialize_images(
     if "patch_cols" in dml.column_names:
         pmask = pc.is_valid(dml["patch_cols"]).to_numpy(zero_copy_only=False)
         if pmask.any():
+            if not allow_patches:
+                # without the flag the caller would LWW-reduce before this
+                # point and silently drop full images that patches depend on
+                raise ValueError(
+                    "minimal row images present in the log but "
+                    "CdcConfig.partial_updates is False"
+                )
             patches = dml.filter(pa.array(pmask))
             dml = dml.filter(pa.array(~pmask))
             p_pieces, p_poison = _materialize_patches(patches, schema, pk)
@@ -477,7 +487,7 @@ def make_applier(
             # events and fold column-wise per key (poison rows are simply
             # excluded by materialize; 'never existed' holds directly)
             dml = group.filter(pa.array(dml_mask))
-            typed, poison = materialize_images(dml, schema, pk)
+            typed, poison = materialize_images(dml, schema, pk, allow_patches=True)
             if poison is not None:
                 _atomic_write_parquet(
                     poison,
@@ -491,7 +501,7 @@ def make_applier(
             )
         else:
             dml = group.take(pa.array(_survivor_indices()))
-            typed, poison = materialize_images(dml, schema, pk)
+            typed, poison = materialize_images(dml, schema, pk, allow_patches=False)
             # rare path: a poison event won the LWW. Semantics: the poison
             # event never existed (quarantined) — redo the LWW without it so
             # the key's previous event wins; repeat while winners are poison.
@@ -501,7 +511,7 @@ def make_applier(
                 all_poison.append(poison)
                 bad_lsns.update(poison["lsn"].to_pylist())
                 dml = group.take(pa.array(_survivor_indices(bad_lsns)))
-                typed, poison = materialize_images(dml, schema, pk)
+                typed, poison = materialize_images(dml, schema, pk, allow_patches=False)
             if all_poison:
                 qpath = os.path.join(
                     lake_dir, "_quarantine", f"p{pid:05d}_e{epoch:05d}.parquet"
