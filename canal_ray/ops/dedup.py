@@ -22,7 +22,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count
 
 # fixed MinHash parameters (deterministic; shared by tests)
 N_PERM = 64
