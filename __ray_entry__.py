@@ -48,6 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": R.order_priority_counts,
         "priority_item_stats": R.priority_item_stats,
         "event_props_k_stats": R.event_props_k_stats,
+        "doc_lang_source_counts": R.doc_lang_source_counts,
+        "monthly_ship_volume": R.monthly_ship_volume,
+        "part_brand_stats": R.part_brand_stats,
+        "user_value_minmax": R.user_value_minmax,
         "top_users_by_value": R.top_users_by_value,
         "distinct_customers_per_status": R.distinct_customers_per_status,
         "customers_without_orders": R.customers_without_orders,

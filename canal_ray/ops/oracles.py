@@ -156,6 +156,29 @@ RELATIONAL_SQL: dict[str, str] = {
         SELECT user_id, event_id, prev_event_id, prev_event_type
         FROM w WHERE event_type = 'purchase' AND prev_event_id IS NOT NULL
     """,
+    "doc_lang_source_counts": """
+        SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang, source
+    """,
+    "monthly_ship_volume": """
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY 1
+    """,
+    "part_brand_stats": """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size,
+               sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_price
+        FROM part
+        WHERE p_type LIKE '%STANDARD%'
+        GROUP BY p_brand
+    """,
+    "user_value_minmax": """
+        SELECT user_id, count(*) AS n, min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY user_id
+    """,
     "event_props_k_stats": """
         SELECT (CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) // 10) * 10
                    AS k_bucket,

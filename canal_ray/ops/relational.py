@@ -403,6 +403,76 @@ def purchase_prev_event(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def doc_lang_source_counts(sf_dir: str) -> pd.DataFrame:
+    """Grouped counts over two keys (documents corpus census)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
+    out = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+    df = out.to_pandas()
+    df["total_chars"] = df["total_chars"].astype("int64")
+    return df
+
+
+def monthly_ship_volume(sf_dir: str) -> pd.DataFrame:
+    """Tumbling calendar-month histogram over lineitem shipments."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ship_month": pc.floor_temporal(t["l_shipdate"], unit="month"),
+                "qty_i": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(derive, batch_format="pyarrow").groupby("ship_month").aggregate(
+        Count(alias_name="n_items"), Sum("qty_i", alias_name="sum_qty_i")
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty_i"].astype("float64")
+    return df[["ship_month", "n_items", "sum_qty"]]
+
+
+def part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    """Pattern-filtered grouped aggregate (LIKE pushdown shape)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_type", "p_size", "p_retailprice"]
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t["p_type"], "STANDARD")
+        t = t.filter(m)
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "size_i": pc.cast(t["p_size"], pa.int64()),
+                "price_c": _cents(t["p_retailprice"]),
+            }
+        )
+
+    out = ds.map_batches(filt, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("size_i", alias_name="sum_size"),
+        Sum("price_c", alias_name="price_c"),
+    )
+    df = out.to_pandas()
+    df["total_price"] = df["price_c"] / 100.0
+    df["sum_size"] = df["sum_size"].astype("int64")
+    return df.drop(columns=["price_c"])
+
+
+def user_value_minmax(sf_dir: str) -> pd.DataFrame:
+    """Per-key min/max/count (pure aggregate fan-in, no float sums)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    out = ds.groupby("user_id").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return out.to_pandas()
+
+
 def order_priority_counts(sf_dir: str) -> pd.DataFrame:
     """Filtered grouped count (Q4 flavor, no join needed at this shape)."""
     ds = rd.read_parquet(

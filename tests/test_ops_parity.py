@@ -62,6 +62,10 @@ def assert_parity(ray_df, sql: str):
         "order_priority_counts",
         "priority_item_stats",
         "event_props_k_stats",
+        "doc_lang_source_counts",
+        "monthly_ship_volume",
+        "part_brand_stats",
+        "user_value_minmax",
         "top_users_by_value",
         "distinct_customers_per_status",
         "customers_without_orders",
