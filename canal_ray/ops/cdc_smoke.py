@@ -22,10 +22,20 @@ def cdc_replay_smoke(sf_dir: str) -> pd.DataFrame:
     from canal_ray.oracle import replay_oracle, state_digest
     from canal_ray.pipeline import CdcJob
 
+    import hashlib
+    import json
+
+    from canal_ray.sink import DELTA_FORMAT_VERSION
+
     root = "/tmp/canal_ray_smoke"
     fix = os.path.join(root, "fixture")
-    lake = os.path.join(root, "lake")
-    generate_fixture(fix, **_PARAMS)
+    meta = generate_fixture(fix, **_PARAMS)
+    # key the lake to fixture content + delta format: a regenerated fixture
+    # or a format change must NOT be served by a stale (fenced) lake
+    key = hashlib.sha256(
+        json.dumps([meta["params"], DELTA_FORMAT_VERSION], sort_keys=True).encode()
+    ).hexdigest()[:12]
+    lake = os.path.join(root, f"lake_{key}")
     cfg = CdcConfig(
         log_dir=os.path.join(fix, "binlog"),
         lake_dir=lake,

@@ -46,6 +46,9 @@ from canal_ray.checkpoint import CheckpointStore
 from canal_ray.config import CdcConfig
 from canal_ray.ddl import TableSchema
 
+# bump when the delta-file format changes (consumers can key caches on it)
+DELTA_FORMAT_VERSION = 2  # v2: added _mask column (partial-update bitmasks)
+
 META_LSN = "_lsn"
 META_DELETED = "_deleted"
 # per-row column-set bitmask (bit i = schema column i was SET by this event):
