@@ -59,7 +59,7 @@ DECODED_SCHEMA = pa.schema(
 )
 
 
-def _project(batch: pa.Table, pk0: str) -> pa.Table:
+def _project(batch: pa.Table, init_names: list[str]) -> pa.Table:
     img_len = pc.fill_null(pc.list_value_length(batch["vals"]), 0)
     carr = batch["cols"].combine_chunks()
     valid = pc.is_valid(carr).to_numpy(zero_copy_only=False)
@@ -68,11 +68,26 @@ def _project(batch: pa.Table, pk0: str) -> pa.Table:
         lengths = pc.fill_null(pc.list_value_length(carr), 0).to_numpy(
             zero_copy_only=False
         )
-        safe = np.where(valid & (lengths > 0), off, 0)
-        firsts = carr.values.take(pa.array(safe))
-        is_patch = valid & (lengths > 0) & (
-            pc.not_equal(firsts, pa.scalar(pk0)).to_numpy(zero_copy_only=False)
-        )
+        present = valid & (lengths > 0)
+        # full image <=> cols is a positional prefix of the schema column
+        # order: verify EVERY overlapping position against the initial-schema
+        # names (not just the first — a minimal image that happens to lead
+        # with the PK must not be materialized positionally; ADVICE r1).
+        # Positions beyond the initial schema are DDL-added and unverifiable
+        # at decode time: a patch that lists the exact schema prefix is
+        # indistinguishable from a pre-DDL full image by construction of the
+        # stringly wire format (Canal's Column list has the same ambiguity
+        # absent updated-flags) — the sink's patch path handles PK-bearing
+        # column sets correctly either way.
+        is_full = present.copy()
+        for j, name in enumerate(init_names):
+            chk = is_full & (lengths > j)
+            if not chk.any():
+                break
+            nm = carr.values.take(pa.array(np.where(chk, off + j, 0)))
+            eq = pc.equal(nm, pa.scalar(name)).to_numpy(zero_copy_only=False)
+            is_full &= ~(chk & ~eq)
+        is_patch = present & ~is_full
         patch_cols = pc.if_else(
             pa.array(is_patch), carr, pa.nulls(len(carr), type=carr.type)
         )
@@ -104,6 +119,7 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
         else None
     )
     num_partitions = cfg.num_partitions
+    init_names = [n for n, _ in cfg.initial_schema]
     drop_ops = set()
     if cfg.filter_dml_insert:
         drop_ops.add("INSERT")
@@ -186,6 +202,6 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
                 )
         if not out:
             return DECODED_SCHEMA.empty_table()
-        return _project(pa.concat_tables(out), cfg.pk_columns[0])
+        return _project(pa.concat_tables(out), init_names)
 
     return decode

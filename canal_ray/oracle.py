@@ -72,7 +72,7 @@ def replay_oracle(
             key = (row["pk_repo"], row["pk_path"])
             if row["op"] == "DELETE":
                 state.pop(key, None)
-            elif row["cols"] and row["cols"][0] != "repo":
+            elif row["cols"] and row["cols"] != schema.names()[: len(row["cols"])]:
                 # minimal row image (patch): update listed columns only;
                 # UPDATE on an absent row is a no-op (RdbSyncService semantics)
                 if key in state:

@@ -60,8 +60,18 @@ def _segment_lsn_range(path: str) -> tuple[int, int]:
     return min(los), max(his)
 
 
-def _base_to_log(batch: pa.Table, payload_names: list[str]) -> pa.Table:
-    """Initial-snapshot rows -> lsn-0 INSERT events in the log wire format."""
+def _base_to_log(batch: pa.Table, cfg: CdcConfig) -> pa.Table:
+    """Initial-snapshot rows -> lsn-0 INSERT events in the log wire format.
+
+    The emitted identity (schema/table) and PK come from ``cfg`` — a bootstrap
+    row must pass the same decode whitelist and partition routing as the live
+    stream for the configured table (not a hardcoded default)."""
+    payload_names = cfg.payload_columns()
+    for pk_col in cfg.pk_columns:
+        if pk_col not in payload_names:
+            raise ValueError(
+                f"pk column {pk_col!r} not in initial_schema {payload_names}"
+            )
     n = batch.num_rows
     L = len(payload_names)
     mat = np.empty((n, L), dtype=object)
@@ -81,10 +91,10 @@ def _base_to_log(batch: pa.Table, payload_names: list[str]) -> pa.Table:
             "segment": pa.array(np.full(n, -1, dtype=np.int32)),
             "txn_id": pa.array(np.zeros(n, dtype=np.int64)),
             "op": pa.array(["INSERT"] * n, type=pa.string()),
-            "schema_name": pa.array(["mytest"] * n, type=pa.string()),
-            "table_name": pa.array(["repos"] * n, type=pa.string()),
-            "pk_repo": batch[payload_names[0]],
-            "pk_path": batch[payload_names[1]],
+            "schema_name": pa.array([cfg.schema_name] * n, type=pa.string()),
+            "table_name": pa.array([cfg.table_name] * n, type=pa.string()),
+            "pk_repo": pc.cast(batch[cfg.pk_columns[0]], pa.string()),
+            "pk_path": pc.cast(batch[cfg.pk_columns[1]], pa.string()),
             "cols": cols,
             "vals": vals,
             "ddl_sql": pa.array([None] * n, type=pa.string()),
@@ -217,11 +227,10 @@ class CdcJob:
             if epoch == 0:
                 if cfg.base_table is None:
                     continue  # manifest-only epoch (written below)
-                payload = cfg.payload_columns()
                 boot = ray.data.read_parquet(cfg.base_table)
                 sources.append(
                     boot.map_batches(
-                        lambda b, _names=payload: _base_to_log(b, _names),
+                        lambda b, _cfg=cfg: _base_to_log(b, _cfg),
                         batch_format="pyarrow",
                         batch_size=cfg.decode_batch_size,
                     )
@@ -397,7 +406,7 @@ class CdcJob:
                 "updates": sum(c.get("updates", 0) for c in ckpts),
                 "deletes": sum(c.get("deletes", 0) for c in ckpts),
                 "poison": sum(c.get("poison", 0) for c in ckpts),
-                "ddls": max((c.get("ddls", 0) for c in ckpts), default=0),
+                "ddls": sum(c.get("ddls", 0) for c in ckpts),
                 "lsn_range": [
                     min(c["lsn_min"] for c in ckpts),
                     max(c["lsn_max"] for c in ckpts),

@@ -82,7 +82,18 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
     os.close(fd)
     try:
         pq.write_table(table, tmp)
+        # fsync data before the rename (mirrors atomic_write_json): without it
+        # a power loss can leave a torn delta beside a durable checkpoint whose
+        # fencing then treats the epoch as complete and never rewrites it
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        try:
+            dfd = os.open(d, os.O_RDONLY)
+            os.fsync(dfd)
+            os.close(dfd)
+        except OSError:
+            pass  # directory fsync unsupported on some filesystems
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -92,6 +103,43 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
 # typed materialization: stringly cols/vals -> typed payload columns
 # (LogEventConvert §1.2 type normalization + JdbcTypeUtil cast, vectorized)
 # ---------------------------------------------------------------------------
+
+def _numeric_poison_mask(raw: pa.Array | pa.ChunkedArray, typ: pa.DataType) -> np.ndarray:
+    """True where a string value cannot be cast to ``typ`` (form OR range).
+
+    Regex alone is not enough: '3000000000' is a well-formed integer but
+    overflows int32, and pc.cast would raise ArrowInvalid mid-epoch — the
+    range check routes such rows into the quarantine like any other poison.
+    Nulls are castable (-> typed null).
+    """
+    if pa.types.is_integer(typ):
+        # <=18 digits always fits int64; longer needs an exact check
+        ok = pc.fill_null(pc.match_substring_regex(raw, r"^-?\d{1,18}$"), True)
+        okn = ok.to_numpy(zero_copy_only=False)
+        long_form = pc.fill_null(pc.match_substring_regex(raw, r"^-?\d{19,}$"), False)
+        longn = long_form.to_numpy(zero_copy_only=False)
+        bad = ~(okn | longn)
+        w = typ.bit_width
+        lo, hi = -(1 << (w - 1)), (1 << (w - 1)) - 1
+        if longn.any():  # rare: exact Python bounds check on the few long ones
+            arr = raw.combine_chunks() if isinstance(raw, pa.ChunkedArray) else raw
+            for i in np.flatnonzero(longn):
+                if not (lo <= int(arr[i].as_py()) <= hi):
+                    bad[i] = True
+        if w < 64 and okn.any():
+            cand = pc.if_else(pa.array(okn), raw, pa.nulls(len(bad), type=pa.string()))
+            as64 = pc.cast(cand, pa.int64())
+            in_range = pc.fill_null(
+                pc.and_(pc.greater_equal(as64, lo), pc.less_equal(as64, hi)), True
+            )
+            bad |= ~in_range.to_numpy(zero_copy_only=False)
+        return bad
+    # floats: string->float64 overflow saturates to +-inf (no error), so the
+    # form regex is the complete check
+    ok = pc.fill_null(
+        pc.match_substring_regex(raw, r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), True
+    )
+    return ~ok.to_numpy(zero_copy_only=False)
 
 def materialize_images(
     dml: pa.Table,
@@ -152,13 +200,7 @@ def materialize_images(
             typ = arrow_schema.field(name).type
             if j < int(length) and not pa.types.is_string(typ):
                 raw = pc.list_element(sub["vals"], j)
-                pattern = (
-                    r"^-?\d+$"
-                    if pa.types.is_integer(typ)
-                    else r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
-                )
-                ok = pc.fill_null(pc.match_substring_regex(raw, pattern), True)
-                bad |= ~ok.to_numpy(zero_copy_only=False)
+                bad |= _numeric_poison_mask(raw, typ)
         if bad.any():
             poison_pieces.append(sub.filter(pa.array(bad)))
             sub = sub.filter(pa.array(~bad))
@@ -224,12 +266,7 @@ def _materialize_patches(
             typ = arrow_schema.field(s).type
             if not pa.types.is_string(typ):
                 raw = pc.list_element(sub["vals"], pos)
-                pattern_re = (
-                    r"^-?\d+$" if pa.types.is_integer(typ)
-                    else r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
-                )
-                ok = pc.fill_null(pc.match_substring_regex(raw, pattern_re), True)
-                bad |= ~ok.to_numpy(zero_copy_only=False)
+                bad |= _numeric_poison_mask(raw, typ)
         if bad.any():
             poison.append(sub.filter(pa.array(bad)))
             sub = sub.filter(pa.array(~bad))

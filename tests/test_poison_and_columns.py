@@ -61,6 +61,66 @@ def test_poison_rows_quarantined_not_fatal(ray_session, tmp_path):
     assert len(row) == 1 and int(row["stars"].iloc[0]) == 77
 
 
+def test_out_of_range_numeric_is_poison_not_fatal(ray_session, tmp_path):
+    """A well-formed but overflowing numeric (ADVICE r1): regex passes, cast
+    would raise ArrowInvalid — must quarantine, not crash the epoch."""
+    d = str(tmp_path / "fix")
+    meta = generate_fixture(d, n_base=300, n_events=3_000, n_segments=3, seed=17)
+    seg_dir = os.path.join(d, "binlog")
+    last = sorted(os.listdir(seg_dir))[-1]
+    idx = int(last.split("_")[1].split(".")[0]) + 1
+    lsn = meta["last_lsn"] + 1
+    row = {
+        "lsn": lsn, "segment": idx, "txn_id": 10**6, "op": "UPDATE",
+        "schema_name": "mytest", "table_name": "repos",
+        "pk_repo": "org0/repo0", "pk_path": "src/m0/f0.py",
+        "cols": ["repo", "path", "commit", "lang", "content", "stars", "license"],
+        "vals": ["org0/repo0", "src/m0/f0.py", "c" * 40, "python", "x",
+                 "99999999999999999999", "mit"],  # > int64 max, regex-clean
+        "ddl_sql": None, "execute_time": EPOCH_MS + lsn * 10,
+    }
+    good = dict(row, lsn=lsn + 1, pk_path="src/m0/f2.py",
+                vals=[v if not v.startswith("9999") else "42" for v in row["vals"]])
+    good["vals"][1] = "src/m0/f2.py"
+    tbl = pa.Table.from_pylist([row, good], schema=LOG_SCHEMA)
+    pq.write_table(tbl, os.path.join(seg_dir, f"segment_{idx:05d}.parquet"))
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=4, epoch_segments=2,
+    )
+    job = CdcJob(cfg)
+    job.run()  # must not raise
+    lin = job.lineage()
+    assert sum(p["poison"] for p in lin["partitions"].values()) == 1
+    eng = job.state_pandas()
+    r = eng[(eng.repo == "org0/repo0") & (eng.path == "src/m0/f2.py")]
+    assert len(r) == 1 and int(r["stars"].iloc[0]) == 42
+
+
+def test_numeric_poison_mask_ranges():
+    """Unit coverage of form + range detection per target type."""
+    import numpy as np
+
+    from canal_ray.sink import _numeric_poison_mask
+
+    arr = pa.array([
+        "77", "3000000000", "-2147483649", "2147483647", "-2147483648",
+        "NOT_A_NUMBER", None, "9223372036854775807", "9223372036854775808",
+        "99999999999999999999",
+    ])
+    got32 = _numeric_poison_mask(arr, pa.int32())
+    assert list(got32) == [False, True, True, False, False,
+                           True, False, True, True, True]
+    got64 = _numeric_poison_mask(arr, pa.int64())
+    assert list(got64) == [False, False, False, False, False,
+                           True, False, False, True, True]
+    farr = pa.array(["1.5", "1e999", "nope", None])
+    assert list(_numeric_poison_mask(farr, pa.float64())) == [
+        False, False, True, False,
+    ]
+    assert not np.any(_numeric_poison_mask(pa.array([], type=pa.string()), pa.int32()))
+
+
 def test_column_filter_projects_lake(ray_session, tmp_path):
     d = str(tmp_path / "fix")
     generate_fixture(d, n_base=200, n_events=2_000, n_segments=2, seed=19)
