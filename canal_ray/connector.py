@@ -1,0 +1,135 @@
+"""External consumer API: subscribe / getWithoutAck / ack / rollback.
+
+The reference's primary product surface is the client protocol served by
+``server/embedded/CanalServerWithEmbedded.java:350-464`` and consumed by the
+adapter loop ``client-adapter/.../AdapterProcessor.java:162-241``:
+
+    connector.subscribe(filter)
+    while True:
+        msg = connector.getWithoutAck(batchSize)
+        try:    process(msg); connector.ack(msg.id)
+        except: connector.rollback(msg.id)
+
+This module is that protocol over the engine's log: a *client cursor* (last
+acked epoch, per client id) is durably stored next to the lake, a batch is
+one or more epochs of DECODED events (the same filtered wire format the sink
+consumes), and rollback/crash simply re-delivers from the cursor — at-least-
+once delivery that a PK-idempotent consumer turns into exactly-once effect,
+exactly the reference's contract (``RdbSyncService.java:284-291``).
+
+Epoch chunking matches ``CdcJob.plan`` (``epoch_segments`` files per ack
+point), but the connector keeps its OWN cursor: many independent clients can
+trail the same log at different positions (Canal: one meta cursor per client
+destination, ``meta/.../FileMixedMetaManager.java``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+import ray.data
+
+from canal_ray.checkpoint import atomic_write_json, read_json
+from canal_ray.config import CdcConfig
+from canal_ray.decode import make_decoder
+
+
+class CdcConnector:
+    """One client's cursor over one binlog directory."""
+
+    def __init__(self, cfg: CdcConfig, client_id: str = "default"):
+        self.cfg = cfg
+        self.client_id = client_id
+        self._cursor_path = os.path.join(
+            cfg.lake_dir, "_clients", f"{client_id}.json"
+        )
+        # no pre-compaction: a protocol client sees every event (Canal
+        # delivers the full change stream; the combiner is a sink-side
+        # optimization whose effect depends on batch boundaries)
+        self._decoder = make_decoder(cfg, precompact=False)
+        self._outstanding: tuple[int, int] | None = None  # (batch_id, epoch_hi)
+        self._next_batch_id = 1
+
+    # ------------------------------------------------------------ protocol
+    def subscribe(self) -> None:
+        """Idempistent registration: materializes the cursor file (epoch -1 =
+        nothing consumed) — the subscribe(filter) analog; the filter itself
+        lives in ``cfg.table_filter`` and is applied at decode."""
+        if read_json(self._cursor_path) is None:
+            atomic_write_json(self._cursor_path, {"acked_epoch": -1})
+
+    def acked_epoch(self) -> int:
+        obj = read_json(self._cursor_path)
+        return int(obj["acked_epoch"]) if obj else -1
+
+    def _epochs(self) -> list[tuple[int, list[str]]]:
+        d = self.cfg.log_dir
+        segs = [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+        k = max(1, self.cfg.epoch_segments)
+        return [
+            (i // k + 1, segs[i : i + k]) for i in range(0, len(segs), k)
+        ]
+
+    def get_without_ack(self, epochs: int = 1) -> tuple[int, pa.Table] | None:
+        """Next un-acked batch as (batch_id, decoded events table); None when
+        the log is drained. Re-delivers the same epochs after a rollback or a
+        crash without ack — the getWithoutAck redelivery contract.
+
+        A second get before ack/rollback raises (one outstanding batch per
+        client — the reference's batch window is likewise bounded; ours is 1).
+        """
+        if self._outstanding is not None:
+            raise RuntimeError(
+                f"batch {self._outstanding[0]} outstanding; ack or rollback first"
+            )
+        self.subscribe()
+        cursor = self.acked_epoch()
+        pending = [(e, s) for e, s in self._epochs() if e > cursor][:epochs]
+        if not pending:
+            return None
+        paths = [p for _, s in pending for p in s]
+        ds = ray.data.read_parquet(paths).map_batches(
+            self._decoder, batch_format="pyarrow",
+            batch_size=self.cfg.decode_batch_size,
+        )
+        pieces = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+        if pieces:
+            table = pa.concat_tables(pieces)
+        else:
+            from canal_ray.decode import DECODED_SCHEMA
+
+            table = DECODED_SCHEMA.empty_table()
+        batch_id = self._next_batch_id
+        self._next_batch_id += 1
+        self._outstanding = (batch_id, pending[-1][0])
+        return batch_id, table
+
+    def ack(self, batch_id: int) -> None:
+        """Advance the durable cursor past the outstanding batch."""
+        if self._outstanding is None or self._outstanding[0] != batch_id:
+            raise ValueError(f"no outstanding batch {batch_id}")
+        atomic_write_json(self._cursor_path, {"acked_epoch": self._outstanding[1]})
+        self._outstanding = None
+
+    def rollback(self, batch_id: int | None = None) -> None:
+        """Forget the outstanding batch; the next get re-delivers it."""
+        if batch_id is not None and (
+            self._outstanding is None or self._outstanding[0] != batch_id
+        ):
+            raise ValueError(f"no outstanding batch {batch_id}")
+        self._outstanding = None
+
+    # ------------------------------------------------------------ helpers
+    def drain(self) -> Iterator[tuple[int, pa.Table]]:
+        """get -> yield -> ack loop until the log is exhausted (the
+        AdapterProcessor consume loop with auto-ack on successful yield)."""
+        while True:
+            got = self.get_without_ack()
+            if got is None:
+                return
+            batch_id, table = got
+            yield batch_id, table
+            self.ack(batch_id)

@@ -109,9 +109,15 @@ def _project(batch: pa.Table, init_names: list[str]) -> pa.Table:
     )
 
 
-def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
+def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table], pa.Table]:
     """Build the per-batch decode function (a closure; compiled regexes are
-    captured once — cheap enough for stateless tasks, no actor needed)."""
+    captured once — cheap enough for stateless tasks, no actor needed).
+
+    ``precompact=False`` disables the within-batch LWW combiner: the sink
+    path wants it (fewer bytes through the shuffle, same final state), but a
+    protocol consumer (``canal_ray.connector``) must see EVERY event exactly
+    as Canal delivers them — and the combiner's effect depends on batch
+    boundaries, which a consumer-visible stream must not."""
     white = re.compile(cfg.table_filter, re.IGNORECASE) if cfg.table_filter else None
     black = (
         re.compile(cfg.table_black_filter, re.IGNORECASE)
@@ -169,7 +175,7 @@ def make_decoder(cfg: CdcConfig) -> Callable[[pa.Table], pa.Table]:
         if idx.size:
             repo = batch["pk_repo"].to_numpy(zero_copy_only=False)[idx]
             path = batch["pk_path"].to_numpy(zero_copy_only=False)[idx]
-            if not cfg.partial_updates:
+            if precompact and not cfg.partial_updates:
                 # LWW pre-compaction is only sound for full row images: a
                 # later patch does not supersede an earlier full image
                 lsn = batch["lsn"].to_numpy()[idx]

@@ -22,8 +22,15 @@ def _matrix(series: pd.Series) -> np.ndarray:
 
 
 def _load_queries(sf_dir: str, n_queries: int):
-    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q = q[q["vec_id"] < n_queries].sort_values("vec_id")
+    # the query set is small by definition (broadcast side); read it with a
+    # pushed-down row filter so only matching row groups are decoded
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dset.to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_queries
+    )
+    q = t.to_pandas().sort_values("vec_id")
     return q["vec_id"].to_numpy(), _matrix(q["embedding"])
 
 
@@ -182,8 +189,14 @@ def ann_ivf_topk(
     query's ``nprobe`` nearest clusters. At 10^10 scale the assignment
     becomes a persisted bucket column and probing a bucket-groupby."""
     qids, Q = _load_queries(sf_dir, n_queries)
-    sample = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    X = _matrix(sample["embedding"].head(train_sample))
+    # training sample: bounded streaming read (limit pushes into the scan) —
+    # never the whole table on the driver
+    sample = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(train_sample)
+        .to_pandas()
+    )
+    X = _matrix(sample["embedding"])
     C = _kmeans(X, n_clusters)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
     ref = ray.put((qids, Q, C, probe))

@@ -50,3 +50,39 @@ def cdc_replay_smoke(sf_dir: str) -> pd.DataFrame:
     if state_digest(eng) != state_digest(oracle_df):  # hard gate, every call
         raise AssertionError("CDC replay state diverged from sequential oracle")
     return eng.drop(columns=["content"])  # keep the result driver-friendly
+
+
+def cdc_connector_drain(sf_dir: str) -> pd.DataFrame:
+    """Consumer-protocol smoke: drain the smoke fixture's log through the
+    get/ack cursor protocol (``canal_ray.connector``), a fresh client each
+    call; returns per-op event counts. The cursor/redelivery semantics are
+    asserted in tests/test_connector.py; here the protocol runs end-to-end."""
+    import shutil
+
+    import pyarrow as pa
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.connector import CdcConnector
+    from canal_ray.loggen import generate_fixture
+
+    root = "/tmp/canal_ray_smoke"
+    fix = os.path.join(root, "fixture")
+    generate_fixture(fix, **_PARAMS)
+    meta_dir = os.path.join(root, "connector_meta")
+    shutil.rmtree(meta_dir, ignore_errors=True)  # fresh cursor every call
+    cfg = CdcConfig(
+        log_dir=os.path.join(fix, "binlog"), lake_dir=meta_dir,
+        num_partitions=8, epoch_segments=2,
+    )
+    conn = CdcConnector(cfg, client_id="drain")
+    tables = [t for _, t in conn.drain()]
+    all_events = pa.concat_tables(tables)
+    df = (
+        all_events.to_pandas()
+        .groupby("op", as_index=False)
+        .agg(n_events=("lsn", "size"), lsn_min=("lsn", "min"), lsn_max=("lsn", "max"))
+        .sort_values("op")
+        .reset_index(drop=True)
+    )
+    df["acked_epoch"] = conn.acked_epoch()
+    return df

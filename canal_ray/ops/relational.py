@@ -79,35 +79,49 @@ def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     return round_columns(out.to_pandas(), {"sum_value": 4})
 
 
-def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
-    """Session windows (gap-based) per user: ordered per-key processing via
-    ``groupby(key).map_groups`` over ts-sorted groups — the documented Ray
-    pattern for stream-shaped windows (no watermarks: the log is the clock,
-    SURVEY.md §2.10)."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
-    )
-    gap = pd.Timedelta(minutes=gap_minutes)
+# one Ray group per hash-shard of keys (NOT one per key): Ray's per-group
+# dispatch is ~ms, so millions of tiny per-user groups would be driver-bound;
+# a shard packs many users into one group resolved by pandas C-path groupby
+# (the same pattern as dedup.shard_pairs)
+N_KEY_SHARDS = 64
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        brk = (g["ts"].diff() > gap).cumsum()
-        sizes = brk.groupby(brk).size()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(brk.iloc[-1]) + 1 if len(g) else 0],
-                "max_session_events": [int(sizes.max())],
-            }
+
+def _with_shard(key: str):
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _shard=(pd.util.hash_array(df[key].to_numpy()) % N_KEY_SHARDS).astype("int64")
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    df = out.to_pandas()
-    df["n_events"] = df["n_events"].astype("int64")
-    df["n_sessions"] = df["n_sessions"].astype("int64")
-    df["max_session_events"] = df["max_session_events"].astype("int64")
-    return df
+    return add
+
+
+def sessionize_users(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows (gap-based) per user: shard-keyed ordered processing —
+    ``groupby(hash(user) % shards)`` with a vectorized pandas sub-groupby per
+    shard (stream-shaped windows; the log is the clock, SURVEY.md §2.10)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ).map_batches(_with_shard("user_id"), batch_format="pandas")
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_sess = g["user_id"].ne(g["user_id"].shift()) | (g["ts"].diff() > gap)
+        tmp = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "sess": new_sess.cumsum().to_numpy()}
+        )
+        sz = tmp.groupby(["user_id", "sess"], sort=False).size().rename("sz").reset_index()
+        per_user = sz.groupby("user_id", sort=False).agg(
+            n_sessions=("sz", "size"), max_session_events=("sz", "max")
+        )
+        per_user["n_events"] = tmp.groupby("user_id", sort=False).size()
+        out = per_user.reset_index()
+        return out[["user_id", "n_events", "n_sessions", "max_session_events"]].astype(
+            {"n_events": "int64", "n_sessions": "int64", "max_session_events": "int64"}
+        )
+
+    out = ds.groupby("_shard").map_groups(per_shard, batch_format="pandas")
+    return out.to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -203,29 +217,42 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 def building_segment_order_revenue(sf_dir: str, threshold: float = 100_000.0) -> pd.DataFrame:
     """Q3-flavored: revenue per order for BUILDING-segment customers above a
-    revenue threshold — broadcast join of the two small sides (orders,
-    customer) into the lineitem scan; only the per-order pre-aggregated
-    partials shuffle."""
-    orders = pd.read_parquet(
+    revenue threshold.
+
+    Fact tables (lineitem, orders) are never driver-loaded or broadcast:
+    lineitem pre-aggregates per-order revenue partials inside ``map_batches``
+    (combiner), the partials reduce in one small groupby, and the result joins
+    the BUILDING-filtered orders stream with a native hash-partitioned
+    ``Dataset.join``. Only the *customer segment keyset* — a true dimension
+    lookup (the ``ESSyncService.java:546-575`` shape) — is broadcast, and it
+    is computed by a streaming scan, not a driver read."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def building_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
+        return t.filter(m).select(["c_custkey"])
+
+    bkeys = set(
+        cust.map_batches(building_keys, batch_format="pyarrow").to_pandas()["c_custkey"]
+    )
+    bkeys_ref = ray.put(bkeys)
+
+    orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    side = orders.merge(
-        cust[cust["c_mktsegment"] == "BUILDING"],
-        left_on="o_custkey",
-        right_on="c_custkey",
-    )[["o_orderkey", "o_orderdate"]]
-    side_ref = ray.put(side.set_index("o_orderkey"))
 
-    ds = rd.read_parquet(
+    def building_orders(t: pa.Table) -> pa.Table:
+        keep = pd.Series(t["o_custkey"].to_numpy()).isin(ray.get(bkeys_ref))
+        return t.filter(pa.array(keep.to_numpy())).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(building_orders, batch_format="pyarrow")
+
+    li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def per_batch(t: pa.Table) -> pa.Table:
-        lookup = ray.get(side_ref)
+    def rev_partial(t: pa.Table) -> pa.Table:
         rev_s = pc.multiply(
             _cents(t["l_extendedprice"]),
             pc.subtract(pa.scalar(100, type=pa.int64()), _cents(t["l_discount"])),
@@ -233,18 +260,28 @@ def building_segment_order_revenue(sf_dir: str, threshold: float = 100_000.0) ->
         df = pd.DataFrame(
             {"o_orderkey": t["l_orderkey"].to_numpy(), "rev_s": rev_s.to_numpy()}
         )
-        df = df[df["o_orderkey"].isin(lookup.index)]
         part = df.groupby("o_orderkey", as_index=False)["rev_s"].sum()
         return pa.Table.from_pandas(part, preserve_index=False)
 
-    partials = ds.map_batches(per_batch, batch_format="pyarrow")
-    rev = partials.groupby("o_orderkey").aggregate(Sum("rev_s", alias_name="rev_s"))
-    df = rev.to_pandas()
-    df["revenue"] = df["rev_s"] / 10_000.0  # exact int -> identical double
-    df = df[df["revenue"] > threshold].drop(columns=["rev_s"])
-    lookup = side.set_index("o_orderkey")
-    df["o_orderdate"] = df["o_orderkey"].map(lookup["o_orderdate"])
-    return df.reset_index(drop=True)
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev_s", alias_name="rev_s"))
+    )
+    joined = rev.join(orders_f, join_type="inner", num_partitions=16, on=("o_orderkey",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        revenue = pc.divide(pc.cast(t["rev_s"], pa.float64()), pa.scalar(10_000.0))
+        out = pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "revenue": revenue,
+                "o_orderdate": t["o_orderdate"],
+            }
+        )
+        return out.filter(pc.greater(out["revenue"], pa.scalar(threshold)))
+
+    return joined.map_batches(finalize, batch_format="pyarrow").to_pandas()
 
 
 def supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
@@ -341,32 +378,43 @@ def distinct_customers_per_status(sf_dir: str) -> pd.DataFrame:
 
     deduped = (
         ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["o_orderstatus", "o_custkey"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(_with_shard("o_custkey"), batch_format="pandas")
+        .groupby("_shard")  # one Ray group per shard, not per distinct pair
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["o_orderstatus", "o_custkey"])[
+                ["o_orderstatus", "o_custkey"]
+            ],
+            batch_format="pandas",
+        )
     )
     out = deduped.groupby("o_orderstatus").aggregate(Count(alias_name="n_customers"))
     return out.to_pandas()
 
 
 def customers_without_orders(sf_dir: str, since: str = "1998-01-01") -> pd.DataFrame:
-    """Anti join via broadcast key set (never a shuffle join for a keyset):
-    customers with no orders on/after ``since``."""
-    orders = pd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    """Anti join, hash-partitioned end to end (no driver keyset build, no
+    broadcast of a fact-derived side): customers with no orders on/after
+    ``since`` via native ``Dataset.join(join_type="left_anti")``. Orders is a
+    fact table — its keyset at 100x scale cannot live on the driver."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     )
-    keys = set(orders[orders["o_orderdate"] >= pd.Timestamp(since)]["o_custkey"])
-    ref = ray.put(keys)
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
 
-    def anti(t: pa.Table) -> pa.Table:
-        have = ray.get(ref)
-        mask = ~pd.Series(t["c_custkey"].to_numpy()).isin(have)
-        return t.filter(pa.array(mask.to_numpy()))
+    def recent_keys(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp(since)))
+        df = pd.DataFrame({"o_custkey": t.filter(m)["o_custkey"].to_numpy()})
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
 
-    df = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    keys = orders.map_batches(recent_keys, batch_format="pyarrow")
+    out = cust.join(
+        keys, join_type="left_anti", num_partitions=16,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    df = out.to_pandas()
     if df.empty:
         df = pd.DataFrame(columns=["c_custkey", "c_name", "c_mktsegment"])
-    return df
+    return df[["c_custkey", "c_name", "c_mktsegment"]]
 
 
 def user_running_value(sf_dir: str) -> pd.DataFrame:
@@ -376,12 +424,16 @@ def user_running_value(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        g["running_value"] = np.round(g["value"].cumsum(), 4)
+    ds = ds.map_batches(_with_shard("user_id"), batch_format="pandas")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        g["running_value"] = np.round(
+            g.groupby("user_id", sort=False)["value"].cumsum(), 4
+        )
         return g[["user_id", "event_id", "running_value"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return ds.groupby("_shard").map_groups(per_shard, batch_format="pandas").to_pandas()
 
 
 def purchase_prev_event(sf_dir: str) -> pd.DataFrame:
@@ -391,14 +443,17 @@ def purchase_prev_event(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    ds = ds.map_batches(_with_shard("user_id"), batch_format="pandas")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        same_user = g["user_id"].eq(g["user_id"].shift(1))
         g["prev_event_id"] = g["event_id"].shift(1)
         g["prev_event_type"] = g["event_type"].shift(1)
-        out = g[(g["event_type"] == "purchase") & g["prev_event_id"].notna()]
+        out = g[(g["event_type"] == "purchase") & same_user]
         return out[["user_id", "event_id", "prev_event_id", "prev_event_type"]]
 
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df = ds.groupby("_shard").map_groups(per_shard, batch_format="pandas").to_pandas()
     df["prev_event_id"] = df["prev_event_id"].astype("int64")
     return df
 

@@ -46,18 +46,27 @@ from canal_ray.loggen import EPOCH_MS, LOG_SCHEMA
 from canal_ray.sink import LakeCompactor, LakeMerger, lake_partition_dirs, make_applier
 
 
-def _segment_lsn_range(path: str) -> tuple[int, int]:
-    """(min, max) lsn of a segment from parquet row-group stats (no data read)."""
+def _segment_stats(path: str) -> tuple[int, int, int]:
+    """(lsn_min, lsn_max, max_execute_time_ms) of a segment from parquet
+    row-group statistics (no data read). The execute_time max is the
+    heartbeat-driven source clock: MHEARTBEAT rows advance it even when the
+    segment carries no DML (AbstractEventParser.java:528-555 semantics)."""
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(path)
-    idx = md.schema.to_arrow_schema().get_field_index("lsn")
-    los, his = [], []
+    arrow_schema = md.schema.to_arrow_schema()
+    lsn_idx = arrow_schema.get_field_index("lsn")
+    et_idx = arrow_schema.get_field_index("execute_time")
+    los, his, clocks = [], [], [0]
     for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
+        st = md.row_group(rg).column(lsn_idx).statistics
         los.append(st.min)
         his.append(st.max)
-    return min(los), max(his)
+        est = md.row_group(rg).column(et_idx).statistics
+        if est is not None and est.max is not None:
+            ts = est.max
+            clocks.append(int(ts.timestamp() * 1000) if hasattr(ts, "timestamp") else int(ts))
+    return min(los), max(his), max(clocks)
 
 
 def _base_to_log(batch: pa.Table, cfg: CdcConfig) -> pa.Table:
@@ -222,9 +231,11 @@ class CdcJob:
         # the bootstrap snapshot (epoch 0) joins the first cycle's pipeline via
         # Dataset.union — no separate driver barrier for the initial load
         epoch_ranges = []
+        epoch_clocks: dict[int, int] = {}
         sources = []
         for epoch, segs in cycle:
             if epoch == 0:
+                epoch_clocks[0] = EPOCH_MS
                 if cfg.base_table is None:
                     continue  # manifest-only epoch (written below)
                 boot = ray.data.read_parquet(cfg.base_table)
@@ -237,14 +248,18 @@ class CdcJob:
                 )
                 epoch_ranges.append((0, 0, 0))
             else:
-                los, his = zip(*(_segment_lsn_range(s) for s in segs))
+                los, his, clocks = zip(*(_segment_stats(s) for s in segs))
                 epoch_ranges.append((epoch, min(los), max(his)))
+                epoch_clocks[epoch] = max(clocks)
         log_segs = [s for e, segs in cycle for s in segs if e > 0]
         if log_segs:
             sources.append(ray.data.read_parquet(log_segs))
         if not sources:
             for epoch, segs in cycle:
-                self.store.write_epoch(epoch, self._manifest(epoch, segs, schema, 0))
+                self.store.write_epoch(
+                    epoch,
+                    self._manifest(epoch, segs, schema, 0, epoch_clocks.get(epoch, 0)),
+                )
             return schema, 0
         ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
         ds = ds.map_batches(
@@ -293,7 +308,16 @@ class CdcJob:
             schema = self._advance_schema(schema, ss)
             events = int(sum(s["events"] for s in ss))
             total_events += events
-            self.store.write_epoch(epoch, self._manifest(epoch, segs, schema, events))
+            self.store.write_epoch(
+                epoch,
+                self._manifest(epoch, segs, schema, events, epoch_clocks.get(epoch, 0)),
+            )
+        # metrics stream: one append-only parquet per cycle (collector analog)
+        from canal_ray.metrics import MetricsLog, cycle_metric_rows
+
+        MetricsLog(cfg.lake_dir).append_cycle(
+            cycle[0][0], cycle_metric_rows(summaries, epoch_clocks)
+        )
         if cfg.exchange == "scatter":
             import shutil
 
@@ -303,13 +327,18 @@ class CdcJob:
             )
         return schema, total_events
 
-    def _manifest(self, epoch: int, segs: list[str], schema: TableSchema, events: int) -> dict:
+    def _manifest(
+        self, epoch: int, segs: list[str], schema: TableSchema, events: int,
+        clock_ms: int = 0,
+    ) -> dict:
         return {
             "epoch": epoch,
             "segments": [os.path.basename(s) for s in segs],
             "schema": schema.to_json(),
             "schema_fingerprint": schema.fingerprint(),
             "events": events,
+            # heartbeat-advanced source clock as of this ack point
+            "max_execute_time_ms": int(clock_ms),
         }
 
     def _schema_at(self, epoch: int) -> TableSchema:
@@ -388,12 +417,21 @@ class CdcJob:
         (``prometheus/.../impl/{Entry,Store,Sink,Parser}Collector.java`` —
         canal_instance_put_rows / ack_rows / get_delay ...).
         """
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        last_acked = self.store.last_complete_epoch()
         parts = {}
         for d in lake_partition_dirs(self.cfg.lake_dir):
             pid = int(os.path.basename(d)[1:])
             ckpts = self.store.partition_checkpoints(pid)
             if not ckpts:
                 continue
+            # heartbeat lag: delay of this partition's apply vs the source
+            # clock of its newest *acked* epoch (gauge; 0 clock = unknown)
+            e = min(max(c["epoch"] for c in ckpts), last_acked)
+            m = self.store.read_epoch(e) if e >= 0 else None
+            clock = int(m.get("max_execute_time_ms", 0)) if m else 0
             hot: dict[str, int] = {}
             for c in ckpts:
                 for k, v in c.get("hot_keys", {}).items():
@@ -412,6 +450,8 @@ class CdcJob:
                     max(c["lsn_max"] for c in ckpts),
                 ],
                 "hot_keys": top,
+                "source_clock_ms": clock,
+                "apply_delay_ms": max(0, now_ms - clock) if clock else None,
             }
         events = [p["events_applied"] for p in parts.values()] or [0]
         return {
