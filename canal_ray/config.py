@@ -46,10 +46,12 @@ class CdcConfig:
 
     # --- partitioning / shuffle ------------------------------------------
     num_partitions: int = 32
-    # "sort": Ray groupby sort-shuffle (whole cycle transits the object
-    #   store); "scatter": disk-based exchange via partition-bucketed snappy
-    #   fragments (streaming-friendly, compressed; see canal_ray.scatter)
-    exchange: str = "sort"
+    # "scatter" (default): disk-based exchange via partition-bucketed
+    #   lz4-IPC fragments — nothing accumulates in the object store, the
+    #   configuration that survives a 10^10-event backlog replay (see
+    #   canal_ray.scatter). "sort": Ray groupby sort-shuffle (the whole
+    #   cycle transits the object store; fine for small jobs).
+    exchange: str = "scatter"
 
     # --- epoching / batching ---------------------------------------------
     epoch_segments: int = 4  # segments consumed per epoch (per ack point)

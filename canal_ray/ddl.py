@@ -1,13 +1,23 @@
-"""Tiny DDL dialect parser + schema registry with additive evolution.
+"""DDL dialect parser + slot-based schema registry (add/widen/rename/drop).
 
 The analogs in the reference:
   - DDL text -> structured result: ``parse/.../mysql/ddl/DruidDdlParser.java``,
-    ``SimpleDdlParser.java`` (we support the additive subset our synthetic log
-    emits: ADD COLUMN and MODIFY/widen).
+    ``SimpleDdlParser.java`` (supported subset: ADD COLUMN, MODIFY/widen,
+    RENAME COLUMN, DROP COLUMN — the common online-DDL operations).
   - schema registry evolved by replaying DDL in log order:
-    ``parse/.../tsdb/MemoryTableMeta.java:68-98`` (``repository.console(ddl)``)
+    ``parse/.../tsdb/MemoryTableMeta.java:68-98`` (``repository.console(ddl)``,
+    incl. rename/drop handling at ``MemoryTableMeta.java:181-268``)
     and snapshot/fingerprint for checkpointing:
     ``parse/.../tsdb/DatabaseTableMeta.java:161-181``.
+
+Slot model: every column ever added occupies a SLOT whose position never
+changes. RENAME updates the slot's name in place (old names are kept as
+aliases so in-flight events that still carry the old name resolve to the
+same slot); DROP marks the slot dropped (its position is preserved so
+positional full-image materialization and slot-indexed patch bitmasks stay
+stable — the same trick MySQL's online DDL plays with hidden columns).
+Dropped slots are excluded from the external schema (``to_arrow()``) but
+still materialize internally so delta-file column order == slot order.
 
 Column values are transported as strings in the event log (exactly Canal's
 ``Column.value`` contract, ``protocol/.../EntryProtocol.proto:76-109``); the
@@ -19,7 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pyarrow as pa
 
@@ -52,43 +62,58 @@ _WIDENS = {
     ("float32", "float64"),
 }
 
+_TBL = r"ALTER\s+TABLE\s+(?:`?(?P<schema>\w+)`?\.)?`?(?P<table>\w+)`?\s+"
 _ADD_RE = re.compile(
-    r"ALTER\s+TABLE\s+(?:`?(?P<schema>\w+)`?\.)?`?(?P<table>\w+)`?\s+"
-    r"ADD\s+COLUMN\s+`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\((?P<len>\d+)\))?",
+    _TBL + r"ADD\s+COLUMN\s+`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\((?P<len>\d+)\))?",
     re.IGNORECASE,
 )
 _MODIFY_RE = re.compile(
-    r"ALTER\s+TABLE\s+(?:`?(?P<schema>\w+)`?\.)?`?(?P<table>\w+)`?\s+"
-    r"(?:MODIFY|ALTER)\s+COLUMN\s+`?(?P<col>\w+)`?\s+(?:SET\s+DATA\s+TYPE\s+)?"
+    _TBL + r"(?:MODIFY|ALTER)\s+COLUMN\s+`?(?P<col>\w+)`?\s+(?:SET\s+DATA\s+TYPE\s+)?"
     r"(?P<type>\w+)(?:\((?P<len>\d+)\))?",
     re.IGNORECASE,
 )
+_RENAME_RE = re.compile(
+    _TBL + r"RENAME\s+COLUMN\s+`?(?P<col>\w+)`?\s+TO\s+`?(?P<to>\w+)`?",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(_TBL + r"DROP\s+COLUMN\s+`?(?P<col>\w+)`?", re.IGNORECASE)
 
 
 @dataclass(frozen=True)
 class DdlResult:
     """Structured DDL (DruidDdlParser.DdlResult analog)."""
 
-    kind: str  # "ADD_COLUMN" | "MODIFY_COLUMN"
+    kind: str  # ADD_COLUMN | MODIFY_COLUMN | RENAME_COLUMN | DROP_COLUMN
     schema_name: str | None
     table: str
     column: str
-    arrow_type: str  # arrow type string
+    arrow_type: str | None = None  # for ADD/MODIFY
+    new_name: str | None = None  # for RENAME
 
 
 def parse_ddl(sql: str) -> DdlResult | None:
-    """Parse one DDL statement of the supported additive dialect.
+    """Parse one DDL statement of the supported dialect.
 
     Returns None for unsupported statements (they are ignored, like Canal's
     ``filterQueryDdl`` path drops unparseable DDL variants).
     """
-    m = _ADD_RE.match(sql.strip())
+    s = sql.strip()
+    m = _RENAME_RE.match(s)
+    if m:
+        return DdlResult(
+            "RENAME_COLUMN", m.group("schema"), m.group("table"),
+            m.group("col"), new_name=m.group("to"),
+        )
+    m = _DROP_RE.match(s)
+    if m:
+        return DdlResult("DROP_COLUMN", m.group("schema"), m.group("table"), m.group("col"))
+    m = _ADD_RE.match(s)
     if m:
         t = _SQL_TO_ARROW.get(m.group("type").upper())
         if t is None:
             return None
         return DdlResult("ADD_COLUMN", m.group("schema"), m.group("table"), m.group("col"), t)
-    m = _MODIFY_RE.match(sql.strip())
+    m = _MODIFY_RE.match(s)
     if m:
         t = _SQL_TO_ARROW.get(m.group("type").upper())
         if t is None:
@@ -97,38 +122,94 @@ def parse_ddl(sql: str) -> DdlResult | None:
     return None
 
 
-class TableSchema:
-    """Ordered (name -> arrow type string) registry with additive evolution.
+@dataclass
+class Slot:
+    name: str
+    type: str
+    dropped: bool = False
+    aliases: list[str] = field(default_factory=list)
 
-    The MemoryTableMeta analog: ``apply(ddl_sql)`` replays a DDL statement;
-    ``fingerprint()`` is the checkpointable schema identity;
-    ``to_arrow()`` yields the pyarrow.Schema of the payload columns.
+
+class TableSchema:
+    """Slot-ordered schema registry (MemoryTableMeta analog).
+
+    ``apply(ddl_sql)`` replays a DDL statement; ``fingerprint()`` is the
+    checkpointable schema identity; ``to_arrow()`` yields the ACTIVE payload
+    schema; ``names()`` yields ALL slot names in slot order (positional
+    materialization + slot-indexed masks depend on this order).
     """
 
-    def __init__(self, columns: list[tuple[str, str]] | tuple[tuple[str, str], ...]):
-        self._cols: list[tuple[str, str]] = [(str(n), str(t)) for n, t in columns]
-        names = [n for n, _ in self._cols]
+    def __init__(self, columns):
+        self._slots: list[Slot] = []
+        for c in columns:
+            if isinstance(c, Slot):
+                self._slots.append(Slot(c.name, c.type, c.dropped, list(c.aliases)))
+            else:
+                seq = list(c)
+                if len(seq) == 2:
+                    self._slots.append(Slot(str(seq[0]), str(seq[1])))
+                else:
+                    self._slots.append(
+                        Slot(str(seq[0]), str(seq[1]), bool(seq[2]), [str(a) for a in seq[3]])
+                    )
+        names = [s.name for s in self._slots]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate columns: {names}")
 
     # -- queries ----------------------------------------------------------
+    def slots(self) -> list[Slot]:
+        return list(self._slots)
+
     def names(self) -> list[str]:
-        return [n for n, _ in self._cols]
+        """ALL slot names, slot order (positional wire contract)."""
+        return [s.name for s in self._slots]
+
+    def active_names(self) -> list[str]:
+        return [s.name for s in self._slots if not s.dropped]
 
     def columns(self) -> list[tuple[str, str]]:
-        return list(self._cols)
+        """Active (name, type) pairs — the external schema surface."""
+        return [(s.name, s.type) for s in self._slots if not s.dropped]
+
+    def resolve(self, name: str) -> int | None:
+        """Slot index for a (possibly stale) column name; active slots win.
+
+        A pre-rename event naming the old column resolves through the alias
+        list; a name belonging only to a dropped slot resolves to that slot
+        (the caller skips dropped slots — the value is irrelevant once the
+        column is gone). Unknown names return None.
+        """
+        for i, s in enumerate(self._slots):
+            if not s.dropped and s.name == name:
+                return i
+        for i, s in enumerate(self._slots):
+            if not s.dropped and name in s.aliases:
+                return i
+        for i, s in enumerate(self._slots):
+            if s.dropped and (s.name == name or name in s.aliases):
+                return i
+        return None
+
+    def is_dropped(self, idx: int) -> bool:
+        return self._slots[idx].dropped
 
     def arrow_type(self, name: str) -> pa.DataType:
-        for n, t in self._cols:
-            if n == name:
-                return _ARROW_TYPES[t]
-        raise KeyError(name)
+        i = self.resolve(name)
+        if i is None:
+            raise KeyError(name)
+        return _ARROW_TYPES[self._slots[i].type]
 
-    def to_arrow(self) -> pa.Schema:
-        return pa.schema([pa.field(n, _ARROW_TYPES[t]) for n, t in self._cols])
+    def to_arrow(self, include_dropped: bool = False) -> pa.Schema:
+        return pa.schema(
+            [
+                pa.field(s.name, _ARROW_TYPES[s.type])
+                for s in self._slots
+                if include_dropped or not s.dropped
+            ]
+        )
 
     def fingerprint(self) -> str:
-        return hashlib.sha256(repr(self._cols).encode()).hexdigest()[:16]
+        return hashlib.sha256(repr(self.to_json()).encode()).hexdigest()[:16]
 
     # -- evolution --------------------------------------------------------
     def apply(self, ddl_sql: str) -> bool:
@@ -141,39 +222,62 @@ class TableSchema:
         res = parse_ddl(ddl_sql)
         if res is None:
             return False
-        existing = dict(self._cols)
+        active = {s.name: s for s in self._slots if not s.dropped}
         if res.kind == "ADD_COLUMN":
-            if res.column in existing:
+            if res.column in active:
                 return False  # idempotent replay
-            self._cols.append((res.column, res.arrow_type))
+            self._slots.append(Slot(res.column, res.arrow_type))
             return True
         if res.kind == "MODIFY_COLUMN":
-            old = existing.get(res.column)
-            if old is None or old == res.arrow_type:
+            s = active.get(res.column)
+            if s is None or s.type == res.arrow_type:
                 return False
-            if (old, res.arrow_type) not in _WIDENS:
+            if (s.type, res.arrow_type) not in _WIDENS:
                 raise ValueError(
-                    f"non-additive type change {res.column}: {old} -> {res.arrow_type}"
+                    f"non-additive type change {res.column}: {s.type} -> {res.arrow_type}"
                 )
-            self._cols = [
-                (n, res.arrow_type if n == res.column else t) for n, t in self._cols
-            ]
+            s.type = res.arrow_type
+            return True
+        if res.kind == "RENAME_COLUMN":
+            s = active.get(res.column)
+            if s is None:
+                # idempotent replay: the target name already active
+                return False
+            if res.new_name in active:
+                raise ValueError(f"rename target {res.new_name!r} already exists")
+            s.aliases.append(s.name)
+            s.name = res.new_name
+            return True
+        if res.kind == "DROP_COLUMN":
+            s = active.get(res.column)
+            if s is None:
+                return False  # idempotent replay / unknown
+            s.dropped = True
             return True
         return False
 
     # -- (de)serialization for checkpoints --------------------------------
-    def to_json(self) -> list[list[str]]:
-        return [[n, t] for n, t in self._cols]
+    def to_json(self):
+        """Compact form: 2-element entries while the slot is plain (so
+        fingerprints/manifests of purely additive schemas stay byte-stable
+        across engine versions), 4-element once renamed/dropped."""
+        out = []
+        for s in self._slots:
+            if not s.dropped and not s.aliases:
+                out.append([s.name, s.type])
+            else:
+                out.append([s.name, s.type, s.dropped, list(s.aliases)])
+        return out
 
     @classmethod
-    def from_json(cls, data: list[list[str]]) -> "TableSchema":
-        return cls([(n, t) for n, t in data])
+    def from_json(cls, data) -> "TableSchema":
+        return cls(data)
 
     def copy(self) -> "TableSchema":
-        return TableSchema(self._cols)
+        return TableSchema(self._slots)
 
     def __eq__(self, other) -> bool:
-        return isinstance(other, TableSchema) and self._cols == other._cols
+        return isinstance(other, TableSchema) and self.to_json() == other.to_json()
 
     def __repr__(self) -> str:
-        return f"TableSchema({self._cols})"
+        return f"TableSchema({self.to_json()})"

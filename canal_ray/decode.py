@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from canal_ray.config import CdcConfig
-from canal_ray.partition import partition_ids
+from canal_ray.partition import ids_from_words, key_hash_words
 
 # post-decode wire format (what the one shuffle actually moves).
 # patch_cols is null for full images (their column set is the schema prefix
@@ -59,7 +59,7 @@ DECODED_SCHEMA = pa.schema(
 )
 
 
-def _project(batch: pa.Table, init_names: list[str]) -> pa.Table:
+def _project(batch: pa.Table, init_names: list[str], deep_check: bool) -> pa.Table:
     img_len = pc.fill_null(pc.list_value_length(batch["vals"]), 0)
     carr = batch["cols"].combine_chunks()
     valid = pc.is_valid(carr).to_numpy(zero_copy_only=False)
@@ -70,17 +70,20 @@ def _project(batch: pa.Table, init_names: list[str]) -> pa.Table:
         )
         present = valid & (lengths > 0)
         # full image <=> cols is a positional prefix of the schema column
-        # order: verify EVERY overlapping position against the initial-schema
-        # names (not just the first — a minimal image that happens to lead
-        # with the PK must not be materialized positionally; ADVICE r1).
-        # Positions beyond the initial schema are DDL-added and unverifiable
-        # at decode time: a patch that lists the exact schema prefix is
-        # indistinguishable from a pre-DDL full image by construction of the
-        # stringly wire format (Canal's Column list has the same ambiguity
-        # absent updated-flags) — the sink's patch path handles PK-bearing
-        # column sets correctly either way.
+        # order. ``deep_check`` (on when the stream can carry minimal row
+        # images, cfg.partial_updates) verifies EVERY overlapping position
+        # against the initial-schema names — a minimal image that happens to
+        # lead with the PK must not be materialized positionally (ADVICE r1).
+        # Without the flag (additive full-image streams), only the first
+        # position is checked — ~5x cheaper on the hot path — and any
+        # mis-shapen row still fails LOUDLY downstream: patch-classified rows
+        # make the sink raise when partial_updates is unset. Positions beyond
+        # the initial schema are DDL-added and unverifiable at decode time
+        # (Canal's Column list has the same ambiguity absent updated-flags);
+        # the sink's patch path handles PK-bearing column sets correctly.
         is_full = present.copy()
-        for j, name in enumerate(init_names):
+        n_check = len(init_names) if deep_check else 1
+        for j, name in enumerate(init_names[:n_check]):
             chk = is_full & (lengths > j)
             if not chk.any():
                 break
@@ -145,49 +148,66 @@ def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table]
         if n == 0:
             return DECODED_SCHEMA.empty_table()
         # --- subscribe filter (schema.table regex, lowercased like Canal) ---
-        # dictionary-encode first: the regex runs once per distinct identity
-        # (a handful), not once per row
-        ident = pc.binary_join_element_wise(
-            pc.utf8_lower(batch["schema_name"]), pc.utf8_lower(batch["table_name"]), "."
-        )
-        d = pc.dictionary_encode(ident).combine_chunks()
-        uniq = d.dictionary.to_pylist()
-        codes = d.indices.to_numpy(zero_copy_only=False)
-        per_uniq = np.ones(len(uniq), dtype=bool)
-        if white is not None:
-            per_uniq &= np.array([white.fullmatch(u) is not None for u in uniq])
-        if black is not None:
-            per_uniq &= np.array([black.fullmatch(u) is None for u in uniq])
-        keep = per_uniq[codes]
-        ops = batch["op"].to_numpy(zero_copy_only=False)
+        # dictionary-encode schema and table separately, then classify only
+        # the distinct (schema, table) pairs (a handful) — no per-row string
+        # lowering/joining on the hot path
+        d_s = pc.dictionary_encode(batch["schema_name"]).combine_chunks()
+        d_t = pc.dictionary_encode(batch["table_name"]).combine_chunks()
+        s_uniq = d_s.dictionary.to_pylist()
+        t_uniq = d_t.dictionary.to_pylist()
+        cs = d_s.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ct = d_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair_keep = np.ones((len(s_uniq), max(1, len(t_uniq))), dtype=bool)
+        for i, s in enumerate(s_uniq):
+            for j, t in enumerate(t_uniq):
+                ident = f"{'' if s is None else s}.{'' if t is None else t}".lower()
+                ok = True
+                if white is not None:
+                    ok = white.fullmatch(ident) is not None
+                if ok and black is not None:
+                    ok = black.fullmatch(ident) is None
+                pair_keep[i, j] = ok
+        keep = pair_keep[cs, ct]
+        # op classes via dictionary codes (object-array compares are slow)
+        d_op = pc.dictionary_encode(batch["op"]).combine_chunks()
+        op_uniq = d_op.dictionary.to_pylist()
+        op_codes = d_op.indices.to_numpy(zero_copy_only=False)
+
+        def op_mask(*names: str) -> np.ndarray:
+            want = [i for i, u in enumerate(op_uniq) if u in names]
+            if not want:
+                return np.zeros(n, dtype=bool)
+            return np.isin(op_codes, want)
+
         if drop_ops:
-            keep &= ~np.isin(ops, list(drop_ops))
+            keep &= ~op_mask(*drop_ops)
 
         # DDL and TRUNCATE replicate to every partition (each sink owns table
         # shards; Canal sends them to partition 0 only — see canal_ray.partition)
-        is_ddl = ((ops == "DDL") | (ops == "TRUNCATE")) & keep
-        dml_keep = keep & ~is_ddl & (ops != "MHEARTBEAT")
+        is_ddl = op_mask("DDL", "TRUNCATE") & keep
+        dml_keep = keep & ~is_ddl & ~op_mask("MHEARTBEAT")
 
         # --- within-batch LWW pre-compaction (keep max-lsn per key), as a
-        # mask over original positions: no payload movement yet ---
+        # mask over original positions: no payload movement yet. Key identity
+        # and partition routing share ONE hashing pass (128-bit words). ---
         pid = np.full(n, -1, dtype=np.int32)
         idx = np.flatnonzero(dml_keep)
         if idx.size:
             repo = batch["pk_repo"].to_numpy(zero_copy_only=False)[idx]
             path = batch["pk_path"].to_numpy(zero_copy_only=False)[idx]
+            h1, h2 = key_hash_words(repo, path)
+            pid[idx] = ids_from_words(h1, h2, num_partitions)
             if precompact and not cfg.partial_updates:
                 # LWW pre-compaction is only sound for full row images: a
                 # later patch does not supersede an earlier full image
                 lsn = batch["lsn"].to_numpy()[idx]
-                order = np.argsort(lsn, kind="stable")
-                df = pd.DataFrame({"r": repo[order], "p": path[order]})
-                last = ~df.duplicated(keep="last").to_numpy()
-                dropped = idx[order][~last]
-                dml_keep[dropped] = False
-                sel = np.isin(idx, np.flatnonzero(dml_keep))  # survivors
-                pid[idx[sel]] = partition_ids(repo[sel], path[sel], num_partitions)
-            else:
-                pid[idx] = partition_ids(repo, path, num_partitions)
+                order = np.lexsort((lsn, h2, h1))
+                sh1, sh2 = h1[order], h2[order]
+                last = np.empty(order.size, dtype=bool)
+                last[-1] = True
+                if order.size > 1:
+                    last[:-1] = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
+                dml_keep[idx[order[~last]]] = False
 
         out = []
         if dml_keep.any():
@@ -208,6 +228,6 @@ def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table]
                 )
         if not out:
             return DECODED_SCHEMA.empty_table()
-        return _project(pa.concat_tables(out), init_names)
+        return _project(pa.concat_tables(out), init_names, cfg.partial_updates)
 
     return decode

@@ -1,0 +1,231 @@
+"""Incrementally maintained derived aggregate tables — the ES-adapter analog.
+
+The reference's largest consumer surface after the RDB mirror is secondary-
+index / derived-document maintenance: SQL-mapping-driven upsert plus
+join-table ``updateByQuery`` with source lookups
+(``client-adapter/escore/.../ESSyncService.java:36-796``). The Ray-native
+analog here maintains an AGGREGATE table over the lake, updated per epoch
+from the change stream instead of recomputed:
+
+    for each partition, for the epochs since the derived cursor:
+        K        = keys touched by those epochs' deltas
+        old(K)   = per-group contribution of K as of the cursor epoch
+        new(K)   = per-group contribution of K now
+        partial  = new(K) - old(K)        (count and sums are abelian)
+    derived_table += sum(partials)        (tiny grouped fold on the driver)
+
+Each partition's old/new lookups are LOCAL merges of its own lake files
+(``sink.merge_partition`` with an epoch cutoff) — the exact shape of
+ESSyncService querying the source DB for the rows behind a changed document,
+but without leaving the partition. Per-epoch cost is O(changed keys), never
+O(lake).
+
+Durability: the table is written to a per-epoch versioned parquet and the
+cursor advanced after — re-running a crashed update rewrites the same bytes
+(deterministic diff from the same cursor), so the fold never double-applies.
+Constraint: updates must be brought current BEFORE ``CdcJob.compact()``
+(compaction folds away the deltas that define "as of the cursor").
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from canal_ray.checkpoint import atomic_write_json, read_json
+from canal_ray.ddl import TableSchema
+from canal_ray.sink import (
+    META_LSN,
+    _atomic_write_parquet,
+    lake_partition_dirs,
+    merge_partition,
+)
+
+# supported aggregate kinds: (alias, kind, column)
+#   count           -> number of live rows in the group
+#   sum             -> sum of a numeric column (nulls contribute 0)
+#   strlen          -> sum of len(string column) (nulls contribute 0)
+AggSpec = tuple[str, str, str | None]
+
+
+def _contribution(
+    df: pd.DataFrame, group_col: str, aggs: list[AggSpec],
+    col_map: dict[str, str | None],
+) -> pd.DataFrame:
+    """Per-group contribution of a set of live rows (vectorized).
+
+    ``col_map`` maps spec column names to the schema's CURRENT names (renames
+    resolve through slot aliases); a None mapping (column dropped) makes the
+    aggregate contribute 0. The OUTPUT column is always the spec name, so the
+    derived table's surface is stable across source renames.
+    """
+    gcol = col_map[group_col]
+    out = pd.DataFrame({group_col: df[gcol].fillna("∅")})
+    for alias, kind, col in aggs:
+        actual = col_map.get(col) if col else None
+        if kind == "count":
+            out[alias] = np.int64(1)
+        elif actual is None:
+            out[alias] = np.int64(0)
+        elif kind == "sum":
+            out[alias] = pd.to_numeric(df[actual]).fillna(0).astype("int64").to_numpy()
+        elif kind == "strlen":
+            out[alias] = df[actual].str.len().fillna(0).astype("int64").to_numpy()
+        else:
+            raise ValueError(f"unknown agg kind {kind}")
+    return out.groupby(group_col, as_index=False).sum()
+
+
+def _resolve_cols(schema: TableSchema, names: list[str]) -> dict[str, str | None]:
+    """Spec name -> current active column name (None = dropped/unknown)."""
+    out: dict[str, str | None] = {}
+    for n in names:
+        i = schema.resolve(n)
+        if i is None:
+            out[n] = None
+        else:
+            s = schema.slots()[i]
+            out[n] = None if s.dropped else s.name
+    return out
+
+
+def _partition_diff(
+    part_dir: str,
+    schema_json,
+    pk: tuple[str, str],
+    cursor: int,
+    now: int,
+    group_col: str,
+    aggs: list[AggSpec],
+) -> pd.DataFrame:
+    """One partition's per-group delta between the cursor and now."""
+    import pyarrow.parquet as pq
+
+    schema = TableSchema.from_json(schema_json)
+    col_map = _resolve_cols(
+        schema, [group_col] + [c for _, _, c in aggs if c is not None]
+    )
+    if col_map[group_col] is None:
+        raise ValueError(f"derived group column {group_col!r} not in schema")
+    # keys touched since the cursor = union of the new deltas' keys; a
+    # TRUNCATE in the window kills keys that have NO delta row, so it forces
+    # a whole-partition diff (still partition-local, still O(partition))
+    touched: list[pd.DataFrame] = []
+    saw_truncate = False
+    for name in sorted(os.listdir(part_dir)):
+        if not (name.startswith("delta_e") and name.endswith(".parquet")):
+            continue
+        e = int(name[7:12])
+        if cursor < e <= now:
+            f = pq.ParquetFile(os.path.join(part_dir, name))
+            md = f.schema_arrow.metadata or {}
+            if b"truncate_lsn" in md:
+                saw_truncate = True
+            t = f.read(columns=list(pk))
+            touched.append(t.to_pandas())
+    if not touched:
+        return pd.DataFrame()
+    keys = pd.concat(touched, ignore_index=True).drop_duplicates()
+
+    def live_rows(up_to: int | None) -> pd.DataFrame:
+        t = merge_partition(part_dir, schema, pk, up_to_epoch=up_to)
+        df = t.drop_columns([META_LSN]).to_pandas()
+        if saw_truncate:
+            return df
+        return df.merge(keys, on=list(pk), how="inner")
+
+    new_c = _contribution(live_rows(now), group_col, aggs, col_map)
+    old_c = _contribution(live_rows(cursor), group_col, aggs, col_map)
+    old_c[[a for a, _, _ in aggs]] = -old_c[[a for a, _, _ in aggs]]
+    return pd.concat([new_c, old_c], ignore_index=True)
+
+
+class DerivedTable:
+    """One incrementally maintained aggregate table over a CDC lake."""
+
+    def __init__(self, lake_dir: str, name: str, group_col: str, aggs: list[AggSpec]):
+        self.lake_dir = lake_dir
+        self.name = name
+        self.group_col = group_col
+        self.aggs = list(aggs)
+        self.dir = os.path.join(lake_dir, "_derived")
+        self._cursor_path = os.path.join(self.dir, f"{name}.json")
+
+    # ------------------------------------------------------------- state
+    def cursor(self) -> int:
+        obj = read_json(self._cursor_path)
+        return int(obj["epoch"]) if obj else -1
+
+    def _table_path(self, epoch: int) -> str:
+        return os.path.join(self.dir, f"{self.name}_e{epoch:05d}.parquet")
+
+    def read(self) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        c = self.cursor()
+        if c < 0 or not os.path.exists(self._table_path(c)):
+            return pd.DataFrame(
+                {self.group_col: pd.Series([], dtype=object)}
+                | {a: pd.Series([], dtype="int64") for a, _, _ in self.aggs}
+            )
+        return pq.read_table(self._table_path(c)).to_pandas()
+
+    # ------------------------------------------------------------- update
+    def update(self, job) -> pd.DataFrame:
+        """Fold all epochs acked since the cursor into the derived table.
+
+        Per-partition diffs run as parallel Ray tasks; the final per-group
+        fold is tiny (group cardinality). Idempotent per target epoch.
+        """
+        import pyarrow as pa
+
+        now = job.store.last_complete_epoch()
+        cur = self.cursor()
+        if now <= cur:
+            return self.read()
+        schema_json = job.final_schema().to_json()
+        pk = job.cfg.pk_columns
+        task = ray.remote(num_cpus=1)(_partition_diff)
+        futures = [
+            task.remote(d, schema_json, pk, cur, now, self.group_col, self.aggs)
+            for d in lake_partition_dirs(self.lake_dir)
+        ]
+        diffs = [d for d in ray.get(futures) if not d.empty]
+        base = self.read()
+        allparts = pd.concat([base, *diffs], ignore_index=True) if diffs else base
+        agg_names = [a for a, _, _ in self.aggs]
+        if allparts.empty:
+            folded = base
+        else:
+            folded = allparts.groupby(self.group_col, as_index=False)[agg_names].sum()
+            folded = folded[folded[agg_names].abs().sum(axis=1) > 0]
+            folded = folded.sort_values(self.group_col).reset_index(drop=True)
+            folded[agg_names] = folded[agg_names].astype("int64")
+        _atomic_write_parquet(
+            pa.Table.from_pandas(folded, preserve_index=False),
+            self._table_path(now),
+        )
+        atomic_write_json(self._cursor_path, {"epoch": now})
+        return folded
+
+    # ------------------------------------------------------------- oracle
+    def recompute(self, job) -> pd.DataFrame:
+        """Full recompute from the current lake state (the verification
+        oracle for the incremental path)."""
+        state = job.state_pandas()
+        if state.empty:
+            return self.read().iloc[0:0]
+        schema = TableSchema.from_json(job.final_schema().to_json())
+        col_map = _resolve_cols(
+            schema, [self.group_col] + [c for _, _, c in self.aggs if c is not None]
+        )
+        full = _contribution(state, self.group_col, self.aggs, col_map)
+        agg_names = [a for a, _, _ in self.aggs]
+        full = full[full[agg_names].abs().sum(axis=1) > 0]
+        return full.sort_values(self.group_col).reset_index(drop=True).astype(
+            {a: "int64" for a in agg_names}
+        )

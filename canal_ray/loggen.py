@@ -62,12 +62,16 @@ _LANGS = {
     "ts": "typescript", "md": "markdown", "c": "c", "rb": "ruby",
 }
 
-# DDL schedule: (fraction of the log, sql). Additive-only (SURVEY.md §7 step 6).
+# DDL schedule: (fraction of the log, sql). Additive by default; RENAME/DROP
+# join via the rename_at / drop_at params (opt-in so default fixtures stay
+# byte-identical).
 DDL_SCHEDULE = [
     (0.30, "ALTER TABLE mytest.repos ADD COLUMN stars INT NULL"),
     (0.50, "ALTER TABLE mytest.repos MODIFY COLUMN stars BIGINT"),
     (0.70, "ALTER TABLE mytest.repos ADD COLUMN license VARCHAR(64) NULL"),
 ]
+RENAME_SQL = "ALTER TABLE mytest.repos RENAME COLUMN lang TO language"
+DROP_SQL = "ALTER TABLE mytest.repos DROP COLUMN commit"
 # optional TRUNCATE event (EventType.TRUNCATE) at this fraction when
 # truncate_at is passed to generate_fixture
 TRUNCATE_SQL = "TRUNCATE TABLE mytest.repos"
@@ -143,6 +147,8 @@ def generate_fixture(
     hot_frac: float = 0.2,
     truncate_at: float | None = None,
     p_partial: float = 0.0,
+    rename_at: float | None = None,
+    drop_at: float | None = None,
     force: bool = False,
 ) -> dict:
     """Generate base table + binlog segments; returns the fixture meta dict.
@@ -157,6 +163,12 @@ def generate_fixture(
         p_update=p_update, p_noise=p_noise, hot_frac=hot_frac,
         truncate_at=truncate_at, p_partial=p_partial, version=5,
     )
+    # opt-in keys only when set: default param dicts (and therefore cached
+    # fixtures and their digests) stay byte-identical to earlier versions
+    if rename_at is not None:
+        params["rename_at"] = rename_at
+    if drop_at is not None:
+        params["drop_at"] = drop_at
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
@@ -195,6 +207,18 @@ def generate_fixture(
     for frac, sql in DDL_SCHEDULE:
         lsn = max(2, int(n_events * frac))
         ddl_lsns[lsn] = sql
+    rename_lsn = None
+    if rename_at is not None:
+        rename_lsn = max(2, int(n_events * rename_at))
+        while rename_lsn in ddl_lsns:
+            rename_lsn += 1
+        ddl_lsns[rename_lsn] = RENAME_SQL
+    drop_lsn = None
+    if drop_at is not None:
+        drop_lsn = max(2, int(n_events * drop_at))
+        while drop_lsn in ddl_lsns:
+            drop_lsn += 1
+        ddl_lsns[drop_lsn] = DROP_SQL
     truncate_lsn = None
     if truncate_at is not None:
         truncate_lsn = max(3, int(n_events * truncate_at))
@@ -282,6 +306,8 @@ def generate_fixture(
         has_stars = lsns > stars_lsn
         widened = lsns > widen_lsn
         has_license = lsns > license_lsn
+        renamed = lsns > rename_lsn if rename_lsn is not None else np.zeros(n_ev, bool)
+        dropped = lsns > drop_lsn if drop_lsn is not None else np.zeros(n_ev, bool)
 
         # partial (minimal row image) updates: a subset of non-PK columns
         # only — Canal's Column.updated-flags semantics (binlog_row_image=
@@ -295,7 +321,10 @@ def generate_fixture(
             patch_bits = rng.integers(0, 2, size=(n_ev, 5)).astype(bool)
             patch_bits[:, 3] &= has_stars
             patch_bits[:, 4] &= has_license
-            patch_bits[~patch_bits.any(axis=1), 0] = True  # at least commit
+            patch_bits[:, 0] &= ~dropped  # commit gone after the DROP
+            none = ~patch_bits.any(axis=1)
+            patch_bits[none & ~dropped, 0] = True  # at least commit ...
+            patch_bits[none & dropped, 2] = True  # ... or content post-drop
 
         repo_arr = keys.repo[key_idx]
         path_arr = keys.path[key_idx]
@@ -309,6 +338,7 @@ def generate_fixture(
             5
             + has_stars[has_image].astype(np.int64)
             + has_license[has_image].astype(np.int64)
+            - dropped[has_image].astype(np.int64)  # commit gone post-DROP
         )
         if partial.any():
             widths[partial] = patch_bits[partial].sum(axis=1)
@@ -319,65 +349,85 @@ def generate_fixture(
         starts = cum[:-1]
 
         img = has_image & ~partial
-        s_img = starts[img]
         pool_arr = np.array(pool_strings, dtype=object)
-        rev_sfx = np.add(
-            np.full(int(img.sum()), "\n# rev ", dtype=object),
-            np.char.mod("%d", lsns[img]).astype(object),
-        )
-        val_buf[s_img + 0] = repo_arr[img]
-        val_buf[s_img + 1] = path_arr[img]
-        val_buf[s_img + 2] = commit[img]
-        val_buf[s_img + 3] = lang_arr[img]
-        val_buf[s_img + 4] = np.add(pool_arr[cid[img]], rev_sfx)
-        for j, name in enumerate(BASE_COLS):
-            col_buf[s_img + j] = name
-        w6 = img & (widths >= 6)
         stars_str = np.where(
             widened,
             np.char.mod("%d", stars_big).astype(object),
             np.char.mod("%d", stars_small).astype(object),
         )
-        val_buf[starts[w6] + 5] = stars_str[w6]
-        col_buf[starts[w6] + 5] = "stars"
-        w7 = img & (widths == 7)
         lic_arr = np.array(_LICENSES, dtype=object)[lic]
-        val_buf[starts[w7] + 6] = lic_arr[w7]
-        col_buf[starts[w7] + 6] = "license"
-        if partial.any():
-            # pattern-wise fill for patch images (<=32 distinct subsets)
-            patch_names = np.array(
-                ["commit", "lang", "content", "stars", "license"], dtype=object
+        # full-image fill per ERA: the writer's column list follows the live
+        # schema (stars/license appear; lang renames; commit drops), so rows
+        # are grouped by their layout era — era regions are contiguous lsn
+        # ranges, at most a handful per segment
+        value_src = {
+            "repo": repo_arr, "path": path_arr, "commit": commit,
+            "lang": lang_arr, "language": lang_arr,
+            "stars": stars_str, "license": lic_arr,
+        }
+        era_code = (
+            has_stars.astype(np.int64)
+            + 2 * has_license.astype(np.int64)
+            + 4 * renamed.astype(np.int64)
+            + 8 * dropped.astype(np.int64)
+        )
+        for code in np.unique(era_code[img]):
+            rows = img & (era_code == code)
+            names = ["repo", "path"]
+            if not (code & 8):
+                names.append("commit")
+            names.append("language" if (code & 4) else "lang")
+            names.append("content")
+            if code & 1:
+                names.append("stars")
+            if code & 2:
+                names.append("license")
+            content_v = np.add(
+                pool_arr[cid[rows]],
+                np.add(
+                    np.full(int(rows.sum()), "\n# rev ", dtype=object),
+                    np.char.mod("%d", lsns[rows]).astype(object),
+                ),
             )
-            content_all = None  # built lazily per pattern needing content
+            s_rows = starts[rows]
+            for pos, name in enumerate(names):
+                val_buf[s_rows + pos] = (
+                    content_v if name == "content" else value_src[name][rows]
+                )
+                col_buf[s_rows + pos] = name
+        if partial.any():
+            # pattern-wise fill for patch images (<=32 distinct subsets),
+            # sub-split by rename era (the lang bit's written NAME changes)
             pattern_ids = patch_bits @ (1 << np.arange(5))
             for pid_v in np.unique(pattern_ids[partial]):
-                rows = partial & (pattern_ids == pid_v)
+                prow = partial & (pattern_ids == pid_v)
                 bits = [(pid_v >> j) & 1 for j in range(5)]
-                pos = 0
-                for j, on in enumerate(bits):
-                    if not on:
+                for rflag in (False, True):
+                    rows = prow & (renamed == rflag)
+                    if not rows.any():
                         continue
-                    name = patch_names[j]
-                    if name == "commit":
-                        v = commit[rows]
-                    elif name == "lang":
-                        v = lang_arr[rows]
-                    elif name == "content":
-                        v = np.add(
-                            pool_arr[cid[rows]],
-                            np.add(
-                                np.full(int(rows.sum()), "\n# rev ", dtype=object),
-                                np.char.mod("%d", lsns[rows]).astype(object),
-                            ),
-                        )
-                    elif name == "stars":
-                        v = stars_str[rows]
-                    else:
-                        v = lic_arr[rows]
-                    val_buf[starts[rows] + pos] = v
-                    col_buf[starts[rows] + pos] = name
-                    pos += 1
+                    patch_names = [
+                        "commit", "language" if rflag else "lang", "content",
+                        "stars", "license",
+                    ]
+                    pos = 0
+                    for j, on in enumerate(bits):
+                        if not on:
+                            continue
+                        name = patch_names[j]
+                        if name == "content":
+                            v = np.add(
+                                pool_arr[cid[rows]],
+                                np.add(
+                                    np.full(int(rows.sum()), "\n# rev ", dtype=object),
+                                    np.char.mod("%d", lsns[rows]).astype(object),
+                                ),
+                            )
+                        else:
+                            v = value_src[name][rows]
+                        val_buf[starts[rows] + pos] = v
+                        col_buf[starts[rows] + pos] = name
+                        pos += 1
 
         s_noise = starts[noise]
         val_buf[s_noise + 0] = np.char.mod("%d", lsns[noise]).astype(object)
@@ -438,6 +488,8 @@ def generate_fixture(
         "n_inserted": int(n_inserted),
         "ddl_lsns": {str(k): v for k, v in ddl_lsns.items()},
         "truncate_lsn": truncate_lsn,
+        "rename_lsn": rename_lsn,
+        "drop_lsn": drop_lsn,
         "segments": [os.path.basename(s) for s in segments],
         "base": "base/repos.parquet",
         "last_lsn": int(lsn0 - 1),

@@ -13,7 +13,12 @@ import os
 
 import pandas as pd
 
-_PARAMS = dict(n_base=2_000, n_events=20_000, n_segments=4, seed=77)
+# incl. one RENAME + one DROP so the smoke exercises the full DDL dialect
+# (rename/drop streams require partial_updates=True — deep image check)
+_PARAMS = dict(
+    n_base=2_000, n_events=20_000, n_segments=4, seed=77,
+    rename_at=0.55, drop_at=0.8,
+)
 
 
 def cdc_replay_smoke(sf_dir: str) -> pd.DataFrame:
@@ -42,6 +47,7 @@ def cdc_replay_smoke(sf_dir: str) -> pd.DataFrame:
         base_table=os.path.join(fix, "base", "repos.parquet"),
         num_partitions=8,
         epoch_segments=2,
+        partial_updates=True,  # required: the log carries RENAME/DROP DDL
     )
     job = CdcJob(cfg)
     job.run()  # idempotent: a pre-existing complete lake is fully fenced
@@ -50,6 +56,53 @@ def cdc_replay_smoke(sf_dir: str) -> pd.DataFrame:
     if state_digest(eng) != state_digest(oracle_df):  # hard gate, every call
         raise AssertionError("CDC replay state diverged from sequential oracle")
     return eng.drop(columns=["content"])  # keep the result driver-friendly
+
+
+def cdc_derived_lang_stats(sf_dir: str) -> pd.DataFrame:
+    """ES-adapter analog: per-language aggregate table incrementally
+    maintained off the change stream (ESSyncService.java:36-796 shape),
+    verified in-process against a full recompute on every call. Rows-only at
+    the driver (the lake isn't a registered SQL view); the true staged
+    incremental path is asserted in tests/test_derived.py."""
+    import shutil
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.derived import DerivedTable
+    from canal_ray.loggen import generate_fixture
+    from canal_ray.pipeline import CdcJob
+
+    import hashlib
+    import json
+
+    from canal_ray.sink import DELTA_FORMAT_VERSION
+
+    root = "/tmp/canal_ray_smoke"
+    fix = os.path.join(root, "fixture")
+    meta = generate_fixture(fix, **_PARAMS)
+    key = hashlib.sha256(
+        json.dumps([meta["params"], DELTA_FORMAT_VERSION], sort_keys=True).encode()
+    ).hexdigest()[:12]
+    lake = os.path.join(root, f"lake_{key}")
+    cfg = CdcConfig(
+        log_dir=os.path.join(fix, "binlog"), lake_dir=lake,
+        base_table=os.path.join(fix, "base", "repos.parquet"),
+        num_partitions=8, epoch_segments=2, partial_updates=True,
+    )
+    job = CdcJob(cfg)
+    job.run()  # fenced no-op when the smoke lake is already complete
+    shutil.rmtree(os.path.join(lake, "_derived"), ignore_errors=True)
+    # spec names the PRE-rename column ('lang'); resolution follows the
+    # rename, the output surface stays stable
+    dt = DerivedTable(
+        lake, "lang_stats", "lang",
+        [("n_files", "count", None), ("total_chars", "strlen", "content"),
+         ("total_stars", "sum", "stars")],
+    )
+    inc = dt.update(job)
+    full = dt.recompute(job)
+    if not inc.reset_index(drop=True).equals(full.reset_index(drop=True)):
+        raise AssertionError("incremental derived table diverged from recompute")
+    return inc
 
 
 def cdc_connector_drain(sf_dir: str) -> pd.DataFrame:

@@ -188,7 +188,7 @@ def minhash_lsh_dup_pairs(
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(
-        MinHasher, fn_constructor_args=(k, mode), batch_format="pandas", concurrency=2
+        MinHasher, fn_constructor_args=(k, mode), batch_format="pandas", concurrency=(2, 8)
     )
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
 
@@ -229,18 +229,9 @@ def minhash_lsh_dup_pairs(
     pairs_ds = bands.groupby(["band_id", "shard"]).map_groups(
         shard_pairs, batch_format="pandas"
     )
-    # global pair dedup (same pair surfaces from several bands) — sharded
-    # groups + pandas drop_duplicates, no driver collect
-    pairs_ds = pairs_ds.map_batches(
-        lambda df: df.assign(
-            pshard=((df["doc_a"].to_numpy() * 1_000_003 + df["doc_b"].to_numpy()) % n_shards)
-        ),
-        batch_format="pandas",
-    )
-    pairs_ds = pairs_ds.groupby("pshard").map_groups(
-        lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"])[["doc_a", "doc_b"]],
-        batch_format="pandas",
-    )
+    # NOTE: pairs may repeat across bands; global dedup happens inside the
+    # verify stage's pair-shard groupby (no standalone dedup shuffle — every
+    # groupby operator costs seconds of fixed AllToAll setup)
 
     empty = pd.DataFrame(
         {
@@ -250,57 +241,102 @@ def minhash_lsh_dup_pairs(
         }
     )
 
-    # stage 2: exact Jaccard verify, fully distributed — pairs join the
-    # shingle-set table twice (hash-partitioned Dataset.join keyed on doc_a
-    # then doc_b), then per-pair set intersection runs inside map_batches.
-    # Nothing corpus-derived is ever collected to the driver: the inner join
-    # itself restricts shingle movement to candidate docs (at 10^10 docs,
-    # semi-join the shingle scan on the candidate keyset first).
-    def shingle_batch(b: pd.DataFrame) -> pa.Table:
-        # shingle sets travel as packed little-endian uint64 blobs: acero's
-        # hash join rejects list<> non-key payloads, binary it carries fine
-        arrs = [_shingle_hashes(t, k, mode) for t in b["text"].tolist()]
-        return pa.table(
+    # stage 2: exact Jaccard verify, fully distributed and JOIN-FREE — the
+    # classic repartition join expressed as two shard groupbys (the hash-join
+    # operator's aggregator-actor pool costs seconds of fixed startup and
+    # deadlocks small CPU budgets when several joins share a DAG):
+    #   groupby 1 (by doc shard): co-locates each pair side with its doc's
+    #     shingle blob and attaches it;
+    #   groupby 2 (by pair shard): brings a pair's two attached sides
+    #     together and computes exact Jaccard.
+    # Nothing corpus-derived is collected to the driver; shingle blobs move
+    # through at most two bounded shuffles (shingling is a linear map over
+    # the corpus — the same work the MinHasher stage already does once).
+    def pair_sides(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["doc_a", "doc_b"])  # within-batch
+        a = df["doc_a"].to_numpy()
+        b = df["doc_b"].to_numpy()
+        return pd.DataFrame(
             {
-                "doc_id": pa.array(b["doc_id"].to_numpy(), type=pa.int64()),
-                "sh": pa.array([a.tobytes() for a in arrs], type=pa.binary()),
+                "shard": np.concatenate([a % n_shards, b % n_shards]).astype("int64"),
+                "doc_id": np.concatenate([a, b]),
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([b, b]),
+                "role": np.concatenate(
+                    [np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8)]
+                ),
+                "sh": [None] * (2 * len(a)),
             }
         )
 
-    sh_ds = ds.map_batches(shingle_batch, batch_format="pandas")
-    # join partition count is deliberately small (4): each hash join wants
-    # num_partitions aggregator actors, and this DAG has two joins — over-
-    # provisioning deadlocks the streaming executor on small CPU budgets.
-    # j1 is materialized so the two joins never compete for aggregator slots
-    # concurrently (its size is bounded: candidate pairs x shingle blob).
-    j1 = pairs_ds.join(
-        sh_ds, join_type="inner", num_partitions=4,
-        on=("doc_a",), right_on=("doc_id",), right_suffix="_a",
-    ).materialize()
-    j2 = j1.join(
-        sh_ds, join_type="inner", num_partitions=4,
-        on=("doc_b",), right_on=("doc_id",), right_suffix="_b",
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # shingle sets travel as packed little-endian uint64 blobs
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "shard": (ids % n_shards).astype("int64"),
+                "doc_id": ids,
+                "doc_a": np.full(len(ids), -1, dtype=np.int64),
+                "doc_b": np.full(len(ids), -1, dtype=np.int64),
+                "role": np.full(len(ids), -1, dtype=np.int8),
+                "sh": [
+                    _shingle_hashes(t, k, mode).tobytes() for t in df["text"].tolist()
+                ],
+            }
+        )
+
+    sides = pairs_ds.map_batches(pair_sides, batch_format="pandas")
+    shing = ds.map_batches(shingle_rows, batch_format="pandas")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["role"] < 0]
+        lookup = dict(zip(docs["doc_id"], docs["sh"]))
+        s = g[g["role"] >= 0].copy()
+        if s.empty:
+            return pd.DataFrame(
+                {"pshard": pd.Series([], dtype="int64"),
+                 "doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "role": pd.Series([], dtype="int8"),
+                 "sh": pd.Series([], dtype=object)}
+            )
+        s["sh"] = s["doc_id"].map(lookup)
+        s["pshard"] = (
+            (s["doc_a"].to_numpy() * 1_000_003 + s["doc_b"].to_numpy()) % n_shards
+        ).astype("int64")
+        return s[["pshard", "doc_a", "doc_b", "role", "sh"]]
+
+    attached = sides.union(shing).groupby("shard").map_groups(
+        attach, batch_format="pandas"
     )
 
-    def verify(t: pa.Table) -> pa.Table:
-        sh_a = t["sh"].to_pylist()
-        sh_b = t["sh_b"].to_pylist()
-        jac = np.zeros(t.num_rows)
-        for i, (ba, bb) in enumerate(zip(sh_a, sh_b)):
+    def jacc(g: pd.DataFrame) -> pd.DataFrame:
+        # global pair dedup happens here (a pair can surface from several
+        # bands; all its copies land in this pshard group)
+        ga = (
+            g[g["role"] == 0][["doc_a", "doc_b", "sh"]]
+            .drop_duplicates(subset=["doc_a", "doc_b"])
+            .rename(columns={"sh": "sh_a"})
+        )
+        gb = (
+            g[g["role"] == 1][["doc_a", "doc_b", "sh"]]
+            .drop_duplicates(subset=["doc_a", "doc_b"])
+            .rename(columns={"sh": "sh_b"})
+        )
+        m = ga.merge(gb, on=["doc_a", "doc_b"])
+        jac = np.zeros(len(m))
+        for i, (ba, bb) in enumerate(zip(m["sh_a"], m["sh_b"])):
             sa = np.frombuffer(ba, dtype=np.uint64)
             sb = np.frombuffer(bb, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             jac[i] = inter / (sa.size + sb.size - inter)
-        out = pa.table(
-            {
-                "doc_a": pc.cast(t["doc_a"], pa.int64()),
-                "doc_b": pc.cast(t["doc_b"], pa.int64()),
-                "jaccard": pa.array(np.round(jac, 6)),
-            }
+        m["jaccard"] = np.round(jac, 6)
+        m = m[m["jaccard"] >= jaccard_threshold]
+        return m[["doc_a", "doc_b", "jaccard"]].astype(
+            {"doc_a": "int64", "doc_b": "int64"}
         )
-        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(jaccard_threshold)))
 
-    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = attached.groupby("pshard").map_groups(jacc, batch_format="pandas").to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype(

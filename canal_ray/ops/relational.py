@@ -263,25 +263,58 @@ def building_segment_order_revenue(sf_dir: str, threshold: float = 100_000.0) ->
         part = df.groupby("o_orderkey", as_index=False)["rev_s"].sum()
         return pa.Table.from_pandas(part, preserve_index=False)
 
-    rev = (
-        li.map_batches(rev_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("rev_s", alias_name="rev_s"))
-    )
-    joined = rev.join(orders_f, join_type="inner", num_partitions=16, on=("o_orderkey",))
+    # reduce-side co-partitioned join: tag both streams, ONE shard groupby
+    # performs the per-order aggregation AND the orders join in the same
+    # shuffle (no separate join exchange) — the classic repartition-join,
+    # hash-partitioned end to end.
+    n_shards = 64
+    import pyarrow.parquet as _pq
 
-    def finalize(t: pa.Table) -> pa.Table:
-        revenue = pc.divide(pc.cast(t["rev_s"], pa.float64()), pa.scalar(10_000.0))
-        out = pa.table(
+    date_type = _pq.read_schema(f"{sf_dir}/orders.parquet").field("o_orderdate").type
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy()
+        return pa.table(
             {
+                "shard": pa.array((keys % n_shards).astype(np.int64)),
                 "o_orderkey": t["o_orderkey"],
-                "revenue": revenue,
+                "rev_s": pa.nulls(t.num_rows, type=pa.int64()),
                 "o_orderdate": t["o_orderdate"],
+                "src": pa.array(np.ones(t.num_rows, dtype=np.int8)),
             }
         )
-        return out.filter(pc.greater(out["revenue"], pa.scalar(threshold)))
 
-    return joined.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    def tag_partials(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "shard": pa.array((keys % n_shards).astype(np.int64)),
+                "o_orderkey": t["o_orderkey"],
+                "rev_s": t["rev_s"],
+                "o_orderdate": pa.nulls(t.num_rows, type=date_type),
+                "src": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    parts = li.map_batches(rev_partial, batch_format="pyarrow").map_batches(
+        tag_partials, batch_format="pyarrow"
+    )
+    od = orders_f.map_batches(tag_orders, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        rev = (
+            g[g["src"] == 0]
+            .groupby("o_orderkey", as_index=False)["rev_s"]
+            .sum()
+        )
+        odr = g[g["src"] == 1][["o_orderkey", "o_orderdate"]]
+        m = rev.merge(odr, on="o_orderkey")
+        m["revenue"] = m["rev_s"] / 10_000.0  # exact int -> identical double
+        m = m[m["revenue"] > threshold]
+        return m[["o_orderkey", "revenue", "o_orderdate"]]
+
+    out = parts.union(od).groupby("shard").map_groups(per_shard, batch_format="pandas")
+    return out.to_pandas()
 
 
 def supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:

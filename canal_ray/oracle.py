@@ -47,11 +47,40 @@ def replay_oracle(
     import os
 
     schema = TableSchema(initial_schema)
+    init_names = [n for n, _ in initial_schema]
     state: dict[tuple[str, str], dict] = {}
 
     base = pq.read_table(os.path.join(fixture_dir, "base", "repos.parquet"))
     for row in base.to_pylist():
         state[(row["repo"], row["path"])] = dict(row)
+
+    def _resolve_names(cols: list[str]) -> list[str | None]:
+        """Map event column names to CURRENT slot names (aliases resolve
+        pre-rename names); dropped slots map to None (value ignored)."""
+        out = []
+        for c in cols:
+            i = schema.resolve(c)
+            if i is None:
+                out.append(None)
+            else:
+                s = schema.slots()[i]
+                out.append(None if s.dropped else s.name)
+        return out
+
+    def _on_ddl(sql: str) -> None:
+        from canal_ray.ddl import parse_ddl
+
+        res = parse_ddl(sql)
+        changed = schema.apply(sql)
+        if not changed or res is None:
+            return
+        if res.kind == "RENAME_COLUMN":
+            for img in state.values():
+                if res.column in img:
+                    img[res.new_name] = img.pop(res.column)
+        elif res.kind == "DROP_COLUMN":
+            for img in state.values():
+                img.pop(res.column, None)
 
     want_schema, want_table = table_filter.split(".", 1)
     for seg in segment_paths(fixture_dir):
@@ -60,7 +89,7 @@ def replay_oracle(
             if up_to_lsn is not None and row["lsn"] > up_to_lsn:
                 return _finalize(state, schema)
             if row["op"] == "DDL":
-                schema.apply(row["ddl_sql"])
+                _on_ddl(row["ddl_sql"])
                 continue
             if row["schema_name"] != want_schema or row["table_name"] != want_table:
                 continue
@@ -72,19 +101,40 @@ def replay_oracle(
             key = (row["pk_repo"], row["pk_path"])
             if row["op"] == "DELETE":
                 state.pop(key, None)
-            elif row["cols"] and row["cols"] != schema.names()[: len(row["cols"])]:
-                # minimal row image (patch): update listed columns only;
-                # UPDATE on an absent row is a no-op (RdbSyncService semantics)
-                if key in state:
-                    state[key].update(dict(zip(row["cols"], row["vals"])))
-            else:  # INSERT / UPDATE -> put full image
-                img = dict(zip(row["cols"], row["vals"]))
+                continue
+            cols = row["cols"] or []
+            # classification mirrors decode: full image <=> cols is the
+            # positional prefix of the INITIAL schema (positions beyond it
+            # are unverifiable at decode time and accepted positionally)
+            overlap = min(len(cols), len(init_names))
+            is_full = cols[:overlap] == init_names[:overlap]
+            if is_full:
+                # positional: value j belongs to SLOT j (current name)
+                slot_names = schema.names()
+                img = {
+                    slot_names[j]: v for j, v in enumerate(row["vals"])
+                }
+                for s in schema.slots():
+                    if s.dropped:
+                        img.pop(s.name, None)
                 state[key] = img
+            else:
+                resolved = _resolve_names(cols)
+                vals = {
+                    n: v for n, v in zip(resolved, row["vals"]) if n is not None
+                }
+                if row["op"] == "INSERT":
+                    # explicit-column full replace (post-rename/drop writers)
+                    state[key] = vals
+                elif key in state:
+                    # minimal row image: update listed columns only; UPDATE
+                    # on an absent row is a no-op (RdbSyncService semantics)
+                    state[key].update(vals)
     return _finalize(state, schema)
 
 
 def _finalize(state: dict, schema: TableSchema) -> tuple[pd.DataFrame, TableSchema]:
-    cols = schema.names()
+    cols = schema.active_names()
     records = []
     for (repo, path), img in state.items():
         rec = {c: img.get(c) for c in cols}

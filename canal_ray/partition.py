@@ -31,6 +31,25 @@ import pandas as pd
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix constant
 
 
+def key_hash_words(repo: np.ndarray, path: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic 64-bit hash per key column (SipHash, fixed key).
+
+    The pair (h1, h2) is a 128-bit key identity reused for BOTH partition
+    routing and within-batch LWW grouping — one hashing pass instead of two.
+    (128-bit equality as key equality: collision probability is ~n^2/2^128,
+    vanishing at any feasible batch size.)
+    """
+    h1 = pd.util.hash_array(np.asarray(repo, dtype=object), categorize=True)
+    h2 = pd.util.hash_array(np.asarray(path, dtype=object), categorize=False)
+    return h1, h2
+
+
+def ids_from_words(h1: np.ndarray, h2: np.ndarray, num_partitions: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (h1 * _GOLDEN) ^ h2
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
 def partition_ids(repo: np.ndarray, path: np.ndarray, num_partitions: int) -> np.ndarray:
     """Vectorized partition id for composite key (repo, path).
 
@@ -38,8 +57,5 @@ def partition_ids(repo: np.ndarray, path: np.ndarray, num_partitions: int) -> np
     ``np.char.add`` is a hidden Python loop) and mixes the two words; both
     steps are deterministic across processes.
     """
-    h1 = pd.util.hash_array(np.asarray(repo, dtype=object), categorize=True)
-    h2 = pd.util.hash_array(np.asarray(path, dtype=object), categorize=False)
-    with np.errstate(over="ignore"):
-        h = (h1 * _GOLDEN) ^ h2
-    return (h % np.uint64(num_partitions)).astype(np.int32)
+    h1, h2 = key_hash_words(repo, path)
+    return ids_from_words(h1, h2, num_partitions)

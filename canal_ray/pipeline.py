@@ -162,9 +162,15 @@ class CdcJob:
         fenced checkpoint (per-epoch resume is unchanged, driver barriers are
         amortized).
         """
+        import time as _time
+
+        _timing = os.environ.get("CANAL_PHASE_TIMING")
+        _t0 = _time.perf_counter()
         cfg = self.cfg
         plan = self.plan()
         last = self.store.last_complete_epoch()
+        if _timing:
+            print(f"[phase] plan={_time.perf_counter() - _t0:.2f}s", flush=True)
         schema = self._schema_at(last)
         processed = 0
         total_events = 0
@@ -227,6 +233,9 @@ class CdcJob:
     def _run_cycle(
         self, cycle: list[tuple[int, list[str]]], schema: TableSchema
     ) -> tuple[TableSchema, int]:
+        import time as _time
+
+        _tc = _time.perf_counter()
         cfg = self.cfg
         # the bootstrap snapshot (epoch 0) joins the first cycle's pipeline via
         # Dataset.union — no separate driver barrier for the initial load
@@ -270,8 +279,12 @@ class CdcJob:
         if cfg.exchange == "scatter":
             import shutil
 
-            from canal_ray.scatter import make_gather_fn, make_scatter_fn
+            from canal_ray.scatter import make_scatter_fn, run_gather
 
+            _timing = os.environ.get("CANAL_PHASE_TIMING")
+            if _timing:
+                print(f"[phase] cycle-setup={_time.perf_counter() - _tc:.2f}s", flush=True)
+            _t0 = _time.perf_counter()
             frag_dir = os.path.join(
                 cfg.lake_dir, "_fragments", f"cycle_e{cycle[0][0]:05d}"
             )
@@ -279,18 +292,20 @@ class CdcJob:
             frag_rows = ds.map_batches(
                 make_scatter_fn(frag_dir), batch_format="pyarrow"
             ).take_all()
+            _t1 = _time.perf_counter()
             frag_index: dict[int, list[tuple[str, int]]] = {}
             for r in sorted(frag_rows, key=lambda r: (r["fragment"], r["row_group"])):
                 frag_index.setdefault(int(r["pid"]), []).append(
                     (r["fragment"], int(r["row_group"]))
                 )
-            items = [{"pid": p} for p in range(cfg.num_partitions)]
-            gather = make_gather_fn(cfg, frag_index, epoch_ranges, schema.to_json())
-            summaries = (
-                ray.data.from_items(items)
-                .map_batches(gather, batch_format="pyarrow", batch_size=1)
-                .take_all()
-            )
+            summaries = run_gather(cfg, frag_index, epoch_ranges, schema.to_json())
+            if _timing:
+                _t2 = _time.perf_counter()
+                print(
+                    f"[phase] cycle e{cycle[0][0]}: scatter={_t1 - _t0:.2f}s "
+                    f"gather={_t2 - _t1:.2f}s frags={len({r['fragment'] for r in frag_rows})}",
+                    flush=True,
+                )
         else:
             applier = make_applier(cfg, epoch_ranges, schema.to_json())
             summaries = (

@@ -47,7 +47,7 @@ from canal_ray.config import CdcConfig
 from canal_ray.ddl import TableSchema
 
 # bump when the delta-file format changes (consumers can key caches on it)
-DELTA_FORMAT_VERSION = 2  # v2: added _mask column (partial-update bitmasks)
+DELTA_FORMAT_VERSION = 3  # v3: slot-model schemas (RENAME/DROP COLUMN)
 
 META_LSN = "_lsn"
 META_DELETED = "_deleted"
@@ -85,15 +85,17 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
         # fsync data before the rename (mirrors atomic_write_json): without it
         # a power loss can leave a torn delta beside a durable checkpoint whose
         # fencing then treats the epoch as complete and never rewrites it
-        with open(tmp, "rb") as f:
-            os.fsync(f.fileno())
+        if not os.environ.get("CANAL_NO_FSYNC"):
+            with open(tmp, "rb") as f:
+                os.fsync(f.fileno())
         os.replace(tmp, path)
-        try:
-            dfd = os.open(d, os.O_RDONLY)
-            os.fsync(dfd)
-            os.close(dfd)
-        except OSError:
-            pass  # directory fsync unsupported on some filesystems
+        if not os.environ.get("CANAL_NO_FSYNC"):
+            try:
+                dfd = os.open(d, os.O_RDONLY)
+                os.fsync(dfd)
+                os.close(dfd)
+            except OSError:
+                pass  # directory fsync unsupported on some filesystems
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -113,11 +115,17 @@ def _numeric_poison_mask(raw: pa.Array | pa.ChunkedArray, typ: pa.DataType) -> n
     Nulls are castable (-> typed null).
     """
     if pa.types.is_integer(typ):
-        # <=18 digits always fits int64; longer needs an exact check
-        ok = pc.fill_null(pc.match_substring_regex(raw, r"^-?\d{1,18}$"), True)
-        okn = ok.to_numpy(zero_copy_only=False)
-        long_form = pc.fill_null(pc.match_substring_regex(raw, r"^-?\d{19,}$"), False)
-        longn = long_form.to_numpy(zero_copy_only=False)
+        # one regex pass for the form; digit-count via the cheap length
+        # kernel (<=18 digits always fits int64; longer needs an exact check)
+        form = pc.fill_null(pc.match_substring_regex(raw, r"^-?\d+$"), True)
+        formn = form.to_numpy(zero_copy_only=False)
+        nlen = pc.fill_null(pc.binary_length(raw), 0).to_numpy(zero_copy_only=False)
+        is_neg = pc.fill_null(pc.starts_with(raw, "-"), False).to_numpy(
+            zero_copy_only=False
+        )
+        ndigits = nlen - is_neg.astype(np.int64)
+        okn = formn & (ndigits <= 18)
+        longn = formn & (ndigits > 18)
         bad = ~(okn | longn)
         w = typ.bit_width
         lo, hi = -(1 << (w - 1)), (1 << (w - 1)) - 1
@@ -150,14 +158,18 @@ def materialize_images(
     """Typed payload table for DML rows (any mix of image widths + DELETEs),
     plus the quarantined poison rows (un-castable values) in wire format.
 
-    Relies on the additive-evolution invariant: a row's column set is the
-    prefix ``schema.names()[:img_len]`` of the final ordered column list, so
-    the image *length* alone identifies its column set — extraction stays
-    fully vectorized (``pc.list_element`` per column) and the column names
-    never travel through the shuffle (see ``canal_ray.decode``).
+    Relies on the slot-position invariant: a full image's column set is the
+    positional prefix ``schema.names()[:img_len]`` of the slot list (slot
+    positions never change, even across RENAME/DROP), so the image *length*
+    alone identifies its column set — extraction stays fully vectorized
+    (``pc.list_element`` per column) and the column names never travel
+    through the shuffle for full images (see ``canal_ray.decode``). Output
+    tables carry ALL slots (dropped included) in slot order, so META_MASK
+    bit i always means column i of the table; dropped slots are stripped at
+    the final merge.
     """
     names = schema.names()
-    arrow_schema = schema.to_arrow()
+    arrow_schema = schema.to_arrow(include_dropped=True)
     pieces: list[pa.Table] = []
     poison_pieces: list[pa.Table] = []
 
@@ -239,13 +251,24 @@ def materialize_images(
 def _materialize_patches(
     patches: pa.Table, schema: TableSchema, pk: tuple[str, str]
 ) -> tuple[list[pa.Table], list[pa.Table]]:
-    """Typed pieces for minimal-image rows, grouped by exact column set.
+    """Typed pieces for explicit-column-list rows, grouped by exact col set.
 
-    The bitmask convention: bit i of META_MASK = schema column i set by the
-    event — stable across additive evolution because column positions never
-    change (the prefix invariant)."""
+    Covers two row classes the positional prefix cannot express:
+      - minimal row images (true patches, op=UPDATE): bit i of META_MASK =
+        slot i set by the event — stable across ANY evolution because slot
+        positions never change;
+      - full images written after a RENAME/DROP (their column lists are no
+        longer the slot-name prefix): op=INSERT rows keep full-replace
+        semantics (META_MASK=-1) — an INSERT always carries the writer's
+        complete column set, so treating it as a patch would wrongly no-op
+        on a missing key.
+    Column names resolve through the slot registry (aliases cover pre-rename
+    names in flight); names belonging to dropped slots are skipped — the
+    column no longer exists, its value is irrelevant.
+    """
     names = schema.names()
-    arrow_schema = schema.to_arrow()
+    slots = schema.slots()
+    arrow_schema = schema.to_arrow(include_dropped=True)
     joined = pc.binary_join(patches["patch_cols"], "\x1f")
     d = pc.dictionary_encode(joined).combine_chunks()
     codes = d.indices.to_numpy(zero_copy_only=False)
@@ -254,16 +277,24 @@ def _materialize_patches(
     for code, pattern in enumerate(d.dictionary.to_pylist()):
         sub = patches.filter(pa.array(codes == code))
         set_names = pattern.split("\x1f")
-        unknown = [s for s in set_names if s not in names]
-        if unknown:
-            raise ValueError(f"patch names {unknown} not in schema {names}")
-        mask_val = 0
+        # resolve each listed name to its slot (None = unknown -> error;
+        # dropped slot -> carried as None position, skipped below)
+        slot_of: list[int | None] = []
         for s in set_names:
-            mask_val |= 1 << names.index(s)
-        # poison scan on numeric patch columns
+            i = schema.resolve(s)
+            if i is None:
+                raise ValueError(f"patch names [{s!r}] not in schema {names}")
+            slot_of.append(None if slots[i].dropped else i)
+        mask_val = 0
+        for i in slot_of:
+            if i is not None:
+                mask_val |= 1 << i
+        # poison scan on numeric patch columns (live slots only)
         bad = np.zeros(sub.num_rows, dtype=bool)
-        for pos, s in enumerate(set_names):
-            typ = arrow_schema.field(s).type
+        for pos, i in enumerate(slot_of):
+            if i is None:
+                continue
+            typ = arrow_schema.field(names[i]).type
             if not pa.types.is_string(typ):
                 raw = pc.list_element(sub["vals"], pos)
                 bad |= _numeric_poison_mask(raw, typ)
@@ -272,11 +303,12 @@ def _materialize_patches(
             sub = sub.filter(pa.array(~bad))
             if sub.num_rows == 0:
                 continue
+        pos_of_slot = {i: pos for pos, i in enumerate(slot_of) if i is not None}
         cols: dict[str, pa.Array] = {}
-        for name in names:
+        for j, name in enumerate(names):
             typ = arrow_schema.field(name).type
-            if name in set_names:
-                arr = pc.list_element(sub["vals"], set_names.index(name))
+            if j in pos_of_slot:
+                arr = pc.list_element(sub["vals"], pos_of_slot[j])
                 if not pa.types.is_string(typ):
                     arr = pc.cast(arr, typ)
             elif name == pk[0]:
@@ -286,10 +318,25 @@ def _materialize_patches(
             else:
                 arr = pa.nulls(sub.num_rows, type=typ)
             cols[name] = arr
-        cols[META_LSN] = sub["lsn"].combine_chunks()
-        cols[META_DELETED] = pa.array(np.zeros(sub.num_rows, dtype=bool))
-        cols[META_MASK] = pa.array(np.full(sub.num_rows, mask_val, dtype=np.int64))
-        pieces.append(pa.table(cols))
+        ops = sub["op"].to_numpy(zero_copy_only=False)
+        is_insert = ops == "INSERT"
+        piece = pa.table(
+            {
+                **cols,
+                META_LSN: sub["lsn"].combine_chunks(),
+                META_DELETED: pa.array(np.zeros(sub.num_rows, dtype=bool)),
+                META_MASK: pa.array(np.where(is_insert, -1, mask_val).astype(np.int64)),
+            }
+        )
+        if mask_val == 0:
+            # an UPDATE patch whose every listed column has been dropped sets
+            # nothing — it is a no-op and MUST not materialize (mask 0 is the
+            # tombstone encoding, and a no-op row would also win LWW over the
+            # key's real image); INSERTs (mask -1) still apply
+            piece = piece.filter(pa.array(is_insert))
+            if piece.num_rows == 0:
+                continue
+        pieces.append(piece)
     return pieces, poison
 
 
@@ -402,15 +449,27 @@ def lww_compact(table: pa.Table, pk: tuple[str, str]) -> pa.Table:
 
 
 def conform(table: pa.Table, schema: TableSchema, *, with_meta: bool) -> pa.Table:
-    """Project/cast a lake file to the target schema (add-null + widen)."""
-    arrow_schema = schema.to_arrow()
+    """Project/cast a lake file to the target schema (add-null + widen).
+
+    Alias-aware: a delta written before a RENAME carries the old column
+    name — it conforms into the renamed slot. Output carries ALL slots in
+    slot order (dropped slots conform too, so slot-indexed masks stay
+    aligned); the final merge strips them.
+    """
+    from canal_ray.ddl import _ARROW_TYPES
+
     cols: dict[str, pa.Array | pa.ChunkedArray] = {}
-    for name, typ in zip(arrow_schema.names, arrow_schema.types):
-        if name in table.column_names:
-            col = table[name]
-            cols[name] = pc.cast(col, typ) if col.type != typ else col
+    for s in schema.slots():
+        typ = _ARROW_TYPES[s.type]
+        src = None
+        for cand in [s.name, *reversed(s.aliases)]:
+            if cand in table.column_names:
+                src = table[cand]
+                break
+        if src is not None:
+            cols[s.name] = pc.cast(src, typ) if src.type != typ else src
         else:
-            cols[name] = pa.nulls(table.num_rows, type=typ)
+            cols[s.name] = pa.nulls(table.num_rows, type=typ)
     if with_meta:
         cols[META_LSN] = (
             table[META_LSN]
@@ -479,6 +538,17 @@ def make_applier(
         for sql in ddl_rows["ddl_sql"].to_pylist():
             schema.apply(sql)
             n_ddl += 1
+        if not cfg.partial_updates and any(
+            s.dropped or s.aliases for s in schema.slots()
+        ):
+            # post-rename/drop full images are no longer positional prefixes;
+            # they need the deep image classification + column-wise fold that
+            # partial_updates enables — refuse loudly instead of silently
+            # materializing values against the wrong slots
+            raise ValueError(
+                "log contains RENAME/DROP COLUMN DDL; this stream requires "
+                "CdcConfig.partial_updates=True"
+            )
         # TRUNCATE: every event (and all prior lake state) before its lsn dies.
         # In-epoch we drop superseded events here; cross-epoch the cut is
         # carried as delta-file metadata applied at merge time.
@@ -655,18 +725,34 @@ def lake_partition_dirs(lake_dir: str) -> list[str]:
     )
 
 
-def merge_partition(part_dir: str, schema: TableSchema, pk: tuple[str, str]) -> pa.Table:
-    """LWW-merge base + deltas of one partition -> live rows (payload + _lsn)."""
+def merge_partition(
+    part_dir: str,
+    schema: TableSchema,
+    pk: tuple[str, str],
+    up_to_epoch: int | None = None,
+) -> pa.Table:
+    """LWW-merge base + deltas of one partition -> live rows (payload + _lsn).
+
+    ``up_to_epoch`` restricts the merge to deltas of epochs <= the cutoff —
+    the state *as of* that ack point (used by incremental derived-table
+    maintenance). Only meaningful while those deltas still exist: compaction
+    folds deltas into base, so derived tables must be brought current before
+    compacting.
+    """
     files = sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else []
     tables = []
     truncate_lsn = 0
     for name in files:
-        if name == "base.parquet" or (name.startswith("delta_e") and name.endswith(".parquet")):
-            t = pq.read_table(os.path.join(part_dir, name))
-            md = t.schema.metadata or {}
-            if b"truncate_lsn" in md:
-                truncate_lsn = max(truncate_lsn, int(md[b"truncate_lsn"]))
-            tables.append(conform(t, schema, with_meta=True))
+        if name.startswith("delta_e") and name.endswith(".parquet"):
+            if up_to_epoch is not None and int(name[7:12]) > up_to_epoch:
+                continue
+        elif name != "base.parquet":
+            continue
+        t = pq.read_table(os.path.join(part_dir, name))
+        md = t.schema.metadata or {}
+        if b"truncate_lsn" in md:
+            truncate_lsn = max(truncate_lsn, int(md[b"truncate_lsn"]))
+        tables.append(conform(t, schema, with_meta=True))
     if not tables:
         return conform(schema.to_arrow().empty_table(), schema, with_meta=True)
     merged = pa.concat_tables(tables, promote_options="permissive")
@@ -678,7 +764,10 @@ def merge_partition(part_dir: str, schema: TableSchema, pk: tuple[str, str]) -> 
     else:
         merged = lww_compact(merged, pk)
     live = merged.filter(pc.invert(merged[META_DELETED]))
-    return live.drop_columns([META_DELETED, META_MASK])
+    drop = [META_DELETED, META_MASK] + [
+        s.name for s in schema.slots() if s.dropped
+    ]
+    return live.drop_columns(drop)
 
 
 class LakeMerger:
