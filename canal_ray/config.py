@@ -43,6 +43,10 @@ class CdcConfig:
     table_filter: str = r"mytest\.repos"  # whitelist regex on "schema.table"
     table_black_filter: str | None = None  # blacklist regex, applied after whitelist
     column_filter: tuple[str, ...] | None = None  # keep-only columns (beyond PK)
+    # row-level content predicate (AviaterELFilter.java:20-44 analog),
+    # compiled once and evaluated vectorized per decode batch over DML rows;
+    # grammar + null semantics in canal_ray.rowfilter. None = no filter.
+    row_filter: str | None = None
 
     # --- partitioning / shuffle ------------------------------------------
     num_partitions: int = 32

@@ -129,6 +129,11 @@ def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table]
     )
     num_partitions = cfg.num_partitions
     init_names = [n for n, _ in cfg.initial_schema]
+    row_pred = None
+    if cfg.row_filter:
+        from canal_ray.rowfilter import compile_predicate
+
+        row_pred = compile_predicate(cfg.row_filter, cfg.pk_columns)
     drop_ops = set()
     if cfg.filter_dml_insert:
         drop_ops.add("INSERT")
@@ -186,6 +191,13 @@ def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table]
         # shards; Canal sends them to partition 0 only — see canal_ray.partition)
         is_ddl = op_mask("DDL", "TRUNCATE") & keep
         dml_keep = keep & ~is_ddl & ~op_mask("MHEARTBEAT")
+
+        # --- row-level content predicate (DML rows only — meta entries are
+        # exempt, like the reference applying the EL filter to ROWDATA).
+        # Evaluated over the whole batch so the payload is never copied just
+        # to evaluate the filter; the kernels touch only referenced columns.
+        if row_pred is not None and dml_keep.any():
+            dml_keep &= row_pred(batch)
 
         # --- within-batch LWW pre-compaction (keep max-lsn per key), as a
         # mask over original positions: no payload movement yet. Key identity

@@ -290,7 +290,8 @@ class CdcJob:
             )
             shutil.rmtree(frag_dir, ignore_errors=True)  # stale crashed run
             frag_rows = ds.map_batches(
-                make_scatter_fn(frag_dir), batch_format="pyarrow"
+                make_scatter_fn(frag_dir, cfg.extras.get("frag_codec", "lz4")),
+                batch_format="pyarrow"
             ).take_all()
             _t1 = _time.perf_counter()
             frag_index: dict[int, list[tuple[str, int]]] = {}

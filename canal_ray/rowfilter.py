@@ -1,0 +1,292 @@
+"""Row-level predicate filter — the aviator EL event-filter analog.
+
+The reference filters events by a user expression over event *content*, not
+just the `schema.table` regex: ``filter/CanalEventFilter.java`` (SPI),
+``filter/aviater/AviaterELFilter.java:20-44`` (EL expression evaluated
+against the CanalEntry). This module is that surface, Ray-Data-first: the
+expression is parsed ONCE (Python ``ast`` with a strict whitelist — no
+``eval``) and compiled to a closure of vectorized pyarrow/numpy kernels that
+produces a keep-mask per decode batch. No per-row Python in the hot path.
+
+Expression grammar (whitelisted ``ast`` nodes only):
+
+  - names: ``op``, ``lsn``, ``schema_name``, ``table_name``, any payload
+    column name (resolved from the event's own ``cols`` name list, so it
+    works for full AND minimal row images and across RENAME — pre-rename
+    events naming the old column simply carry that name in ``cols``)
+  - literals: strings, numbers, ``None``; lists/tuples of literals for ``in``
+  - operators: ``and`` ``or`` ``not``, ``== != < <= > >=``, ``in`` /
+    ``not in``
+  - helpers: ``matches(col, r"regex")`` (full match, compiled once),
+    ``contains(col, "sub")``, ``startswith(col, "pre")``, ``length(col)``
+
+Null semantics are SQL-ish: a payload name missing from a row's image (a
+DELETE carries no after-image; a minimal row image carries only changed
+columns) evaluates to null, and any comparison with null is False — the row
+is dropped, exactly as the reference's EL filter fails to match an absent
+column. ``col == None`` / ``col != None`` test absence explicitly, and ``op``
+is always present, so delete-preserving predicates are expressible:
+``op == 'DELETE' or lang == 'python'``.
+
+CDC caveat (inherent to event filtering, identical in the reference): a
+content predicate filters *events*, not final state — an UPDATE that moves a
+row out of the predicate is dropped, leaving the row's last matching version
+in the lake (the reference's filtered subscription behaves the same way).
+Numeric comparisons safe-cast the string transport to float64; rows whose
+value fails the cast compare as null (dropped).
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_META_COLUMNS = {"op", "lsn", "schema_name", "table_name"}
+_HELPERS = {"matches", "contains", "startswith", "length"}
+
+
+class _Ctx:
+    """Per-batch column materialization cache (each referenced column is
+    extracted at most once per batch)."""
+
+    def __init__(self, batch: pa.Table, pk_map: dict[str, str]):
+        self.batch = batch
+        self.n = batch.num_rows
+        self.pk_map = pk_map  # payload pk name -> wire column (pk_repo/pk_path)
+        self._cache: dict[str, pa.Array] = {}
+        self._image_pos: tuple[np.ndarray, np.ndarray] | None = None
+
+    def column(self, name: str) -> pa.Array:
+        got = self._cache.get(name)
+        if got is None:
+            got = self._materialize(name)
+            self._cache[name] = got
+        return got
+
+    def _materialize(self, name: str) -> pa.Array:
+        b = self.batch
+        if name in _META_COLUMNS:
+            return b[name].combine_chunks()
+        wire = self.pk_map.get(name)
+        if wire is not None:
+            return b[wire].combine_chunks()
+        # payload column: resolve by name against each row's own cols list —
+        # one vectorized pass over the flattened name values (no row loop)
+        carr = b["cols"].combine_chunks()
+        varr = b["vals"].combine_chunks()
+        # hit positions are ABSOLUTE into the flattened child (offsets need
+        # not start at 0 for sliced/rechunked arrays) -> map hit->row with
+        # searchsorted over the offsets instead of assuming offset[0] == 0
+        hit = pc.equal(carr.values, pa.scalar(name))
+        hit_idx = np.flatnonzero(
+            pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+        )
+        if not hit_idx.size:
+            return pa.nulls(self.n, pa.string())
+        coffsets = carr.offsets.to_numpy(zero_copy_only=False)
+        voffsets = varr.offsets.to_numpy(zero_copy_only=False)
+        rows = np.searchsorted(coffsets, hit_idx, side="right") - 1
+        in_range = (rows >= 0) & (rows < self.n)
+        hit_idx, rows = hit_idx[in_range], rows[in_range]
+        first = np.ones(rows.size, dtype=bool)
+        first[1:] = rows[1:] != rows[:-1]  # hit_idx ascending => rows grouped
+        sel_rows = rows[first]
+        # position within the row's cols == position within its vals
+        within = hit_idx[first] - coffsets[sel_rows]
+        out_idx = np.zeros(self.n, dtype=np.int64)
+        ok = np.zeros(self.n, dtype=bool)
+        out_idx[sel_rows] = voffsets[sel_rows] + within
+        ok[sel_rows] = True
+        taken = varr.values.take(pa.array(out_idx))
+        return pc.if_else(pa.array(ok), taken, pa.nulls(self.n, pa.string()))
+
+
+def _as_float(arr: pa.Array) -> pa.Array:
+    if pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
+        return arr
+    return pc.cast(arr, pa.float64(), safe=False)
+
+
+_CMP = {
+    ast.Eq: pc.equal,
+    ast.NotEq: pc.not_equal,
+    ast.Lt: pc.less,
+    ast.LtE: pc.less_equal,
+    ast.Gt: pc.greater,
+    ast.GtE: pc.greater_equal,
+}
+
+
+def _to_mask(arr, n: int) -> np.ndarray:
+    """Arrow boolean (possibly with nulls) -> numpy keep-mask; null = False."""
+    if isinstance(arr, np.ndarray):
+        return arr
+    return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+
+class _Compiler(ast.NodeVisitor):
+    """ast -> evaluator(Ctx) -> np.bool mask | pa.Array value."""
+
+    def compile(self, expr: str) -> Callable[[_Ctx], np.ndarray]:
+        tree = ast.parse(expr, mode="eval")
+        fn = self._expr(tree.body)
+        return lambda ctx: _to_mask(fn(ctx), ctx.n)
+
+    # ---- boolean level ---------------------------------------------------
+    def _expr(self, node: ast.AST) -> Callable[[_Ctx], np.ndarray]:
+        if isinstance(node, ast.BoolOp):
+            parts = [self._expr(v) for v in node.values]
+            if isinstance(node.op, ast.And):
+                def f_and(ctx):
+                    m = _to_mask(parts[0](ctx), ctx.n)
+                    for p in parts[1:]:
+                        m = m & _to_mask(p(ctx), ctx.n)
+                    return m
+                return f_and
+            def f_or(ctx):
+                m = _to_mask(parts[0](ctx), ctx.n)
+                for p in parts[1:]:
+                    m = m | _to_mask(p(ctx), ctx.n)
+                return m
+            return f_or
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            inner = self._expr(node.operand)
+            return lambda ctx: ~_to_mask(inner(ctx), ctx.n)
+        if isinstance(node, ast.Compare):
+            return self._compare(node)
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id in ("matches", "contains", "startswith")
+        ):
+            fn = self._call(node)  # boolean-valued helpers usable bare
+            return lambda ctx: _to_mask(fn(ctx), ctx.n)
+        raise ValueError(
+            f"unsupported expression node {type(node).__name__!r} "
+            "(allowed: and/or/not, comparisons, in, boolean helpers)"
+        )
+
+    # ---- comparisons -----------------------------------------------------
+    def _compare(self, node: ast.Compare) -> Callable[[_Ctx], np.ndarray]:
+        if len(node.ops) != 1:
+            raise ValueError("chained comparisons are not supported")
+        op, right = node.ops[0], node.comparators[0]
+        left_fn = self._value(node.left)
+
+        if isinstance(op, (ast.In, ast.NotIn)):
+            items = self._literal_list(right)
+            negate = isinstance(op, ast.NotIn)
+            def f_in(ctx):
+                arr = left_fn(ctx)
+                m = pc.is_in(arr, value_set=pa.array(items, type=arr.type))
+                m = pc.fill_null(m, False)
+                got = m.to_numpy(zero_copy_only=False)
+                # NOT IN keeps null=False semantics: absent column matches neither
+                return (~got & _to_mask(pc.is_valid(arr), ctx.n)) if negate else got
+            return f_in
+
+        rv = self._literal(right)
+        if rv is None and type(op) in (ast.Eq, ast.NotEq):
+            want_null = isinstance(op, ast.Eq)
+            def f_null(ctx):
+                valid = _to_mask(pc.is_valid(left_fn(ctx)), ctx.n)
+                return ~valid if want_null else valid
+            return f_null
+        kernel = _CMP.get(type(op))
+        if kernel is None:
+            raise ValueError(f"unsupported comparison {type(op).__name__!r}")
+        numeric = isinstance(rv, (int, float)) and not isinstance(rv, bool)
+        def f_cmp(ctx):
+            arr = left_fn(ctx)
+            if numeric:
+                try:
+                    arr = _as_float(arr)
+                except pa.ArrowInvalid:
+                    # mixed batch: per-value safe cast, invalid -> null
+                    arr = _safe_float(arr)
+            return kernel(arr, pa.scalar(rv))
+        return f_cmp
+
+    # ---- value level -----------------------------------------------------
+    def _value(self, node: ast.AST) -> Callable[[_Ctx], pa.Array]:
+        if isinstance(node, ast.Name):
+            name = node.id
+            return lambda ctx: ctx.column(name)
+        if isinstance(node, ast.Call):
+            return self._call(node)
+        raise ValueError(
+            f"unsupported value node {type(node).__name__!r} "
+            "(a comparison's left side must be a column or helper call)"
+        )
+
+    def _call(self, node: ast.Call) -> Callable[[_Ctx], pa.Array]:
+        if not isinstance(node.func, ast.Name) or node.func.id not in _HELPERS:
+            raise ValueError(f"unknown function (allowed: {sorted(_HELPERS)})")
+        fname = node.func.id
+        if fname == "length":
+            (col,) = [self._value(a) for a in node.args]
+            return lambda ctx: pc.utf8_length(col(ctx))
+        col_fn = self._value(node.args[0])
+        arg = self._literal(node.args[1])
+        if not isinstance(arg, str):
+            raise ValueError(f"{fname}() needs a string literal argument")
+        if fname == "matches":
+            pattern = re.compile(arg)  # validate eagerly
+            return lambda ctx: pc.match_substring_regex(
+                col_fn(ctx), f"^(?:{pattern.pattern})$"
+            )
+        if fname == "contains":
+            return lambda ctx: pc.match_substring(col_fn(ctx), arg)
+        return lambda ctx: pc.starts_with(col_fn(ctx), arg)
+
+    # ---- literals --------------------------------------------------------
+    def _literal(self, node: ast.AST):
+        if isinstance(node, ast.Constant) and (
+            node.value is None or isinstance(node.value, (str, int, float))
+        ):
+            return node.value
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            v = self._literal(node.operand)
+            if isinstance(v, (int, float)):
+                return -v
+        raise ValueError("only string/number/None literals are supported")
+
+    def _literal_list(self, node: ast.AST) -> list:
+        if not isinstance(node, (ast.List, ast.Tuple)):
+            raise ValueError("`in` needs a list/tuple of literals")
+        items = [self._literal(e) for e in node.elts]
+        if any(i is None for i in items):
+            raise ValueError("None is not allowed inside `in` lists")
+        return items
+
+
+def _safe_float(arr: pa.Array) -> pa.Array:
+    """Element-wise safe cast string->float64 (invalid -> null) — pyarrow's
+    cast has no per-value error_ok, so pre-mask with a numeric regex."""
+    ok = pc.match_substring_regex(arr, r"^\s*-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$")
+    masked = pc.if_else(pc.fill_null(ok, False), arr, pa.nulls(len(arr), pa.string()))
+    return pc.cast(masked, pa.float64())
+
+
+def compile_predicate(
+    expr: str, pk_columns: tuple[str, str] = ("repo", "path")
+) -> Callable[[pa.Table], np.ndarray]:
+    """Compile ``expr`` to ``fn(raw_log_batch) -> keep_mask`` (numpy bool).
+
+    The mask covers DML rows only by contract: the decode stage exempts
+    DDL/TRUNCATE/heartbeat rows before applying it (the reference applies the
+    EL filter to ROWDATA entries, not to meta entries)."""
+    evaluator = _Compiler().compile(expr)
+    pk_map = {pk_columns[0]: "pk_repo", pk_columns[1]: "pk_path"}
+
+    def predicate(batch: pa.Table) -> np.ndarray:
+        if batch.num_rows == 0:
+            return np.zeros(0, dtype=bool)
+        return evaluator(_Ctx(batch, pk_map))
+
+    return predicate

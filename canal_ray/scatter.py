@@ -42,9 +42,14 @@ import pyarrow.ipc as pipc
 
 from canal_ray.config import CdcConfig
 
-def make_scatter_fn(frag_dir: str):
+def make_scatter_fn(frag_dir: str, codec: str = "lz4"):
     """Build the map_batches scatter function (plain task, not an actor —
-    no state to amortize; the closure only carries the fragment dir)."""
+    no state to amortize; the closure only carries the fragment dir).
+
+    ``codec``: IPC frame compression. ``lz4`` (default) is cheapest on CPU;
+    ``zstd`` spends more encode CPU for ~2x smaller fragments — the right
+    trade when the exchange is bandwidth-bound (32-CPU leg on one box, or
+    shuffle over a shared filesystem on a real cluster)."""
 
     def scatter(batch: pa.Table) -> pa.Table:
         os.makedirs(frag_dir, exist_ok=True)
@@ -73,7 +78,7 @@ def make_scatter_fn(frag_dir: str):
         os.close(fd)
         try:
             # options built in-task: IpcWriteOptions is not serializable
-            opts = pipc.IpcWriteOptions(compression="lz4")
+            opts = pipc.IpcWriteOptions(compression=codec)
             with pipc.new_file(tmp, batch.schema, options=opts) as writer:
                 for s, e in zip(starts, ends):
                     writer.write_table(batch.slice(s, e - s))
@@ -103,6 +108,12 @@ def _gather_partition(
     """Read one partition's record batches from the fragments and apply."""
     from canal_ray.sink import make_applier
 
+    import time as _time
+
+    from canal_ray import sink as _sink
+
+    _sink._PROF.clear()
+    _t0 = _time.perf_counter()
     by_file: dict[str, list[int]] = {}
     for f, bi in entries:
         by_file.setdefault(f, []).append(bi)
@@ -114,8 +125,16 @@ def _gather_partition(
     if not tables:
         return []
     group = pa.concat_tables(tables)
+    _t1 = _time.perf_counter()
     applier = make_applier(cfg, epoch_ranges, start_schema_json)
-    return applier(group).to_pylist()
+    out = applier(group).to_pylist()
+    if os.environ.get("CANAL_PHASE_TIMING"):
+        for r in out:
+            r["_read_s"] = _t1 - _t0
+            r["_apply_s"] = _time.perf_counter() - _t1
+            for k, v in _sink._PROF.items():
+                r[f"_{k}_s"] = v
+    return out
 
 
 def run_gather(
@@ -152,10 +171,21 @@ def run_gather(
         durs = sorted(d for _, _, d in results)
         import numpy as _np
 
+        sums: dict[str, float] = {}
+        for c, _, _ in results:
+            if c:
+                for k, v in c[0].items():
+                    if k.startswith("_") and k.endswith("_s"):
+                        sums[k] = sums.get(k, 0.0) + v
+        detail = " ".join(f"{k[1:-2]}_sum={v:.1f}s" for k, v in sorted(sums.items()))
         print(
             f"[phase] gather tasks: n={len(durs)} sum={sum(durs):.1f}s "
             f"p50={durs[len(durs)//2]:.2f} max={durs[-1]:.2f} "
-            f"mean={_np.mean(durs):.2f}",
+            f"mean={_np.mean(durs):.2f} {detail}",
             flush=True,
         )
+        for c, _, _ in results:
+            for r in c:
+                for k in [k for k in r if k.startswith("_") and k.endswith("_s")]:
+                    r.pop(k)
     return [row for chunk, _, _ in results for row in chunk]

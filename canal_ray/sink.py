@@ -49,6 +49,17 @@ from canal_ray.ddl import TableSchema
 # bump when the delta-file format changes (consumers can key caches on it)
 DELTA_FORMAT_VERSION = 3  # v3: slot-model schemas (RENAME/DROP COLUMN)
 
+# CANAL_PHASE_TIMING sub-phase accumulator (reset per gather task; a Ray
+# worker runs one task at a time, so this is race-free within a process)
+_PROF: dict[str, float] = {}
+
+
+def _prof(key: str, t0: float) -> None:
+    import time as _time
+
+    _PROF[key] = _PROF.get(key, 0.0) + (_time.perf_counter() - t0)
+
+
 META_LSN = "_lsn"
 META_DELETED = "_deleted"
 # per-row column-set bitmask (bit i = schema column i was SET by this event):
@@ -75,27 +86,46 @@ def partition_dir(lake_dir: str, partition_id: int) -> str:
     return os.path.join(lake_dir, f"p{partition_id:05d}")
 
 
-def _atomic_write_parquet(table: pa.Table, path: str) -> None:
+def _fsync_paths(paths: list[str], dirs: set[str]) -> None:
+    """fsync files then their directories (refuses silently on unsupported
+    filesystems for the dir part, mirroring atomic_write_json)."""
+    if os.environ.get("CANAL_NO_FSYNC"):
+        return
+    for p in paths:
+        with open(p, "rb") as f:
+            os.fsync(f.fileno())
+    for d in dirs:
+        try:
+            dfd = os.open(d, os.O_RDONLY)
+            os.fsync(dfd)
+            os.close(dfd)
+        except OSError:
+            pass
+
+
+def _atomic_write_parquet(
+    table: pa.Table, path: str, fsync: bool = True, compression: str = "snappy"
+) -> None:
+    """tmp+rename parquet write; ``fsync=False`` defers durability to a
+    caller-batched ``_fsync_paths`` (the apply path syncs a whole cycle's
+    delta files in one pass BEFORE writing any checkpoint — the durability
+    invariant "checkpoint durable => delta durable" is per-ordering, not
+    per-file, and one batched sync per task beats 2 syncs x epochs x
+    partitions against a single device)."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp_", suffix=".parquet")
     os.close(fd)
     try:
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, compression=compression)
         # fsync data before the rename (mirrors atomic_write_json): without it
         # a power loss can leave a torn delta beside a durable checkpoint whose
         # fencing then treats the epoch as complete and never rewrites it
-        if not os.environ.get("CANAL_NO_FSYNC"):
-            with open(tmp, "rb") as f:
-                os.fsync(f.fileno())
+        if fsync:
+            _fsync_paths([tmp], set())
         os.replace(tmp, path)
-        if not os.environ.get("CANAL_NO_FSYNC"):
-            try:
-                dfd = os.open(d, os.O_RDONLY)
-                os.fsync(dfd)
-                os.close(dfd)
-            except OSError:
-                pass  # directory fsync unsupported on some filesystems
+        if fsync:
+            _fsync_paths([], {d})
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -514,12 +544,15 @@ def make_applier(
         # desynchronize them — combine the features only after re-mapping
         raise ValueError("column_filter cannot be combined with partial_updates")
 
+    delta_codec = cfg.extras.get("delta_codec", "zstd")
+
     def apply_epoch(
         store: CheckpointStore,
         pid: int,
         epoch: int,
         group: pa.Table,
         schema: TableSchema,
+        defer: list | None = None,
     ) -> dict:
         """Apply one epoch's slice for one partition; returns its checkpoint.
         Mutates ``schema`` (DDL replay carries into the next epoch slice)."""
@@ -610,8 +643,14 @@ def make_applier(
                 pc.sort_indices(delta, sort_keys=[(META_LSN, "ascending")])
             )
         else:
+            import time as _time
+
+            _t = _time.perf_counter()
             dml = group.take(pa.array(_survivor_indices()))
+            _prof("lww", _t)
+            _t = _time.perf_counter()
             typed, poison = materialize_images(dml, schema, pk, allow_patches=False)
+            _prof("mat", _t)
             # rare path: a poison event won the LWW. Semantics: the poison
             # event never existed (quarantined) — redo the LWW without it so
             # the key's previous event wins; repeat while winners are poison.
@@ -635,11 +674,20 @@ def make_applier(
 
         delta_rows = delta.num_rows
         if delta_rows or truncate_lsn:
+            import time as _time
+
+            _t = _time.perf_counter()
             if truncate_lsn:
                 meta = dict(delta.schema.metadata or {})
                 meta[b"truncate_lsn"] = str(truncate_lsn).encode()
                 delta = delta.replace_schema_metadata(meta)
-            _atomic_write_parquet(delta, delta_path)
+            _atomic_write_parquet(
+                delta, delta_path, fsync=defer is None, compression=delta_codec
+            )
+            if defer is not None:
+                defer["paths"].append(delta_path)
+                defer["dirs"].add(os.path.dirname(delta_path))
+            _prof("write", _t)
 
         # ---- lineage: hot-key counters (repo level, pre-compaction) ------
         hot: dict[str, int] = {}
@@ -665,7 +713,13 @@ def make_applier(
             "hot_keys": hot,
             "skipped": False,
         }
-        store.write_partition(pid, epoch, ckpt)
+        if defer is None:
+            store.write_partition(pid, epoch, ckpt)
+        else:
+            # checkpoint write happens only after the cycle-batched fsync of
+            # every delta file (apply_group) — same durability ordering, one
+            # device sync pass per task instead of two per epoch
+            defer["ckpts"].append((pid, epoch, ckpt))
         return ckpt
 
     def apply_group(group: pa.Table) -> pa.Table:
@@ -679,12 +733,22 @@ def make_applier(
 
         schema = TableSchema.from_json(start_schema_json)
         out = []
+        defer: dict = {"paths": [], "dirs": set(), "ckpts": []}
         for epoch, lo, hi in epoch_ranges:
             mask = (lsns >= lo) & (lsns <= hi)
             if not mask.any():
                 continue
             sub = group.filter(pa.array(mask))
-            out.append(_summary_row(apply_epoch(store, pid, epoch, sub, schema)))
+            out.append(_summary_row(apply_epoch(store, pid, epoch, sub, schema, defer)))
+        # one batched device sync for the whole cycle's deltas, THEN the
+        # checkpoints — "checkpoint durable => delta durable" holds by order
+        import time as _time
+
+        _t = _time.perf_counter()
+        _fsync_paths(defer["paths"], defer["dirs"])
+        for pid_, epoch_, ckpt_ in defer["ckpts"]:
+            store.write_partition(pid_, epoch_, ckpt_)
+        _prof("sync", _t)
         if not out:
             return SUMMARY_SCHEMA.empty_table()
         return pa.concat_tables(out)

@@ -1,0 +1,156 @@
+"""Point-in-time schema rebuild — schema as-of ANY log position.
+
+The reference rebuilds table meta as-of an arbitrary binlog position by
+snapshotting to its TSDB and replaying DDL between the snapshot and the
+target position (``parse/.../tsdb/DatabaseTableMeta.java:161-181``,
+``rollback(position)``); round-1 of this engine could only recover schema at
+epoch ack points (``CdcJob._schema_at``). This module closes that gap:
+
+``schema_as_of(cfg, lsn)`` returns the table schema in effect *after* all
+DDL with ``lsn' <= lsn`` — for any lsn, acked or not.
+
+Scale shape (a 10^10-event log may hold years of segments):
+  - **Snapshot fast path** (DatabaseTableMeta's TSDB snapshot analog): the
+    newest acked epoch manifest whose segments all end at-or-before the
+    target lsn supplies its checkpointed schema; only segments *after* it
+    are scanned. Segment lsn ranges come from parquet footer statistics —
+    no data pages are read to find the cut.
+  - **Pruned DDL scan**: the tail segments are scanned with a
+    ``ddl_sql IS NOT NULL AND lsn <= target`` filter through
+    ``pyarrow.dataset`` — parquet null-count / min-max row-group stats skip
+    every DDL-free row group, so the scan touches O(DDL) pages, not O(log).
+    DDL rows are O(100s) even in a 10^10-event stream; the result is tiny
+    and driver-side by design (schema objects live on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+from canal_ray.checkpoint import CheckpointStore
+from canal_ray.config import CdcConfig
+from canal_ray.ddl import TableSchema
+
+
+def _segment_lsn_max(path: str) -> int:
+    """Max lsn of a segment from footer statistics (no data read)."""
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index("lsn")
+    return max(md.row_group(rg).column(idx).statistics.max for rg in range(md.num_row_groups))
+
+
+def ddl_history(
+    segment_paths: list[str], up_to_lsn: int | None = None
+) -> list[tuple[int, str]]:
+    """All (lsn, ddl_sql) in the segments with lsn <= up_to_lsn, lsn order.
+
+    Row groups without DDL are skipped via parquet stats (null-count for
+    ``ddl_sql``, min/max for ``lsn``) — the scan is O(DDL), not O(events).
+    """
+    if not segment_paths:
+        return []
+    dataset = pa_ds.dataset(segment_paths, format="parquet")
+    expr = ~pa_ds.field("ddl_sql").is_null()
+    if up_to_lsn is not None:
+        expr = expr & (pa_ds.field("lsn") <= up_to_lsn)
+    t = dataset.to_table(columns=["lsn", "ddl_sql"], filter=expr)
+    rows = sorted(zip(t["lsn"].to_pylist(), t["ddl_sql"].to_pylist()))
+    return [(int(lsn), sql) for lsn, sql in rows]
+
+
+def _manifest_snapshot(
+    store: CheckpointStore, segments: list[str], lsn: int
+) -> tuple[TableSchema | None, set[str]]:
+    """Newest acked manifest usable as a snapshot for ``lsn``.
+
+    Usable = every segment the manifest covers ends at-or-before ``lsn`` (its
+    checkpointed schema therefore reflects exactly the DDL prefix we want).
+    Returns (schema, covered_segment_basenames); (None, empty) when no acked
+    manifest qualifies.
+    """
+    by_name = {os.path.basename(p): p for p in segments}
+    best: tuple[TableSchema | None, set[str]] = (None, set())
+    covered: set[str] = set()
+    e = 1
+    while True:
+        m = store.read_epoch(e)
+        if m is None:
+            break
+        segs = [os.path.basename(s) for s in m.get("segments", [])]
+        if any(s not in by_name for s in segs):
+            break  # log dir rotated under the lake; stop trusting manifests
+        covered |= set(segs)
+        if segs and max(_segment_lsn_max(by_name[s]) for s in segs) > lsn:
+            break  # this epoch crosses the target position
+        best = (TableSchema.from_json(m["schema"]), set(covered))
+        e += 1
+    return best
+
+
+def schema_as_of(
+    cfg: CdcConfig, lsn: int, use_checkpoints: bool = True
+) -> TableSchema:
+    """Schema in effect after all DDL at positions <= ``lsn``.
+
+    ``use_checkpoints=False`` forces the pure log replay (the path a fresh
+    consumer with no lake state takes); with checkpoints the newest acked
+    epoch at-or-before ``lsn`` seeds the replay (TSDB snapshot fast path).
+    """
+    d = cfg.log_dir
+    segments = [
+        os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")
+    ]
+    schema = TableSchema(cfg.initial_schema)
+    skip: set[str] = set()
+    if use_checkpoints and os.path.isdir(cfg.lake_dir):
+        snap, covered = _manifest_snapshot(CheckpointStore(cfg.lake_dir), segments, lsn)
+        if snap is not None:
+            schema, skip = snap, covered
+    tail = [
+        p
+        for p in segments
+        if os.path.basename(p) not in skip and _segment_lsn_min(p) <= lsn
+    ]
+    for _, sql in ddl_history(tail, up_to_lsn=lsn):
+        schema.apply(sql)
+    return schema
+
+
+def _segment_lsn_min(path: str) -> int:
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().get_field_index("lsn")
+    return min(md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups))
+
+
+def schema_timeline(cfg: CdcConfig) -> list[dict]:
+    """Every schema change point in the log: [{lsn, ddl_sql, fingerprint,
+    columns}] — the auditable DDL lineage (``MemoryTableMeta.snapshot()``
+    analog, useful for debugging point-in-time reads)."""
+    d = cfg.log_dir
+    segments = [
+        os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")
+    ]
+    schema = TableSchema(cfg.initial_schema)
+    out = [
+        {
+            "lsn": 0,
+            "ddl_sql": None,
+            "fingerprint": schema.fingerprint(),
+            "columns": json.loads(json.dumps(schema.to_json())),
+        }
+    ]
+    for lsn, sql in ddl_history(segments):
+        if schema.apply(sql):
+            out.append(
+                {
+                    "lsn": lsn,
+                    "ddl_sql": sql,
+                    "fingerprint": schema.fingerprint(),
+                    "columns": schema.to_json(),
+                }
+            )
+    return out

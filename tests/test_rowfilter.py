@@ -1,0 +1,135 @@
+"""Row-level predicate filter (AviaterELFilter analog): grammar unit tests +
+an end-to-end replay whose filtered lake equals the filtered oracle state."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from canal_ray.config import CdcConfig
+from canal_ray.loggen import generate_fixture
+from canal_ray.oracle import replay_oracle, state_digest
+from canal_ray.pipeline import CdcJob
+from canal_ray.rowfilter import compile_predicate
+
+
+def _raw_batch() -> pa.Table:
+    """Hand-built raw log batch: full images, a minimal image (patch), a
+    DELETE without image, a heartbeat, and a post-DDL wider image."""
+    rows = [
+        # lsn, op, repo, path, cols, vals
+        (1, "INSERT", "r1", "a", ["repo", "path", "commit", "lang", "content"],
+         ["r1", "a", "c1", "python", "print(1)"]),
+        (2, "INSERT", "r2", "b", ["repo", "path", "commit", "lang", "content"],
+         ["r2", "b", "c2", "go", "func main()"]),
+        (3, "UPDATE", "r1", "a", ["commit", "content"],  # minimal row image
+         ["c3", "print(2)"]),
+        (4, "DELETE", "r2", "b", None, None),  # no after-image
+        (5, "MHEARTBEAT", None, None, None, None),
+        (6, "INSERT", "r3", "c", ["repo", "path", "commit", "lang", "content", "stars"],
+         ["r3", "c", "c4", "python", "x=1", "750"]),
+        (7, "INSERT", "r4", "d", ["repo", "path", "commit", "lang", "content", "stars"],
+         ["r4", "d", "c5", "rust", "fn main()", "not-a-number"]),
+    ]
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], type=pa.int64()),
+            "op": pa.array([r[1] for r in rows], type=pa.string()),
+            "schema_name": pa.array(["mytest"] * len(rows), type=pa.string()),
+            "table_name": pa.array(["repos"] * len(rows), type=pa.string()),
+            "pk_repo": pa.array([r[2] for r in rows], type=pa.string()),
+            "pk_path": pa.array([r[3] for r in rows], type=pa.string()),
+            "cols": pa.array([r[4] for r in rows], type=pa.list_(pa.string())),
+            "vals": pa.array([r[5] for r in rows], type=pa.list_(pa.string())),
+        }
+    )
+
+
+def _mask(expr: str) -> list[bool]:
+    return compile_predicate(expr)(_raw_batch()).tolist()
+
+
+def test_string_equality_and_name_resolution_from_cols():
+    # `lang` resolves per-row from the image's own cols list: absent on the
+    # patch (row 3), the DELETE, and the heartbeat -> null -> False
+    assert _mask("lang == 'python'") == [True, False, False, False, False, True, False]
+
+
+def test_pk_columns_map_to_wire_pk():
+    assert _mask("repo == 'r1'") == [True, False, True, False, False, False, False]
+    assert _mask("path in ('b', 'd')") == [False, True, False, True, False, False, True]
+
+
+def test_numeric_compare_safe_casts_and_nulls_drop():
+    # stars only exists post-DDL; 'not-a-number' fails the cast -> null -> False
+    assert _mask("stars >= 500") == [False] * 5 + [True, False]
+    assert _mask("stars < 500") == [False] * 7
+
+
+def test_meta_fields_and_boolean_composition():
+    assert _mask("op == 'DELETE' or lang == 'python'") == [
+        True, False, False, True, False, True, False,
+    ]
+    assert _mask("lang == 'python' and not contains(content, 'x=')") == [
+        True, False, False, False, False, False, False,
+    ]
+    assert _mask("lsn > 2 and lsn <= 6") == [False, False, True, True, True, True, False]
+
+
+def test_helpers_and_absence_tests():
+    assert _mask("matches(commit, 'c[13]')") == [True, False, True, False, False, False, False]
+    assert _mask("startswith(content, 'print')") == [True, False, True, False, False, False, False]
+    assert _mask("length(content) > 8") == [False, True, False, False, False, False, True]
+    # explicit absence test keeps imageless rows
+    assert _mask("stars == None") == [True, True, True, True, True, False, False]
+    assert _mask("lang != None") == [True, True, False, False, False, True, True]
+    assert _mask("lang not in ('go', 'rust')") == [
+        True, False, False, False, False, True, False,
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "__import__('os').system('x')",
+        "lang.__class__",
+        "(lambda: 1)()",
+        "open('/etc/passwd')",
+        "lang == 'a' if True else 'b'",
+        "[x for x in lang]",
+        "lang + 'x' == 'pythonx'",
+        "1 < lsn < 5",
+        "matches(lang, lang)",
+    ],
+)
+def test_unsafe_or_unsupported_expressions_rejected(bad):
+    with pytest.raises(ValueError):
+        compile_predicate(bad)
+
+
+def test_empty_batch():
+    pred = compile_predicate("lang == 'python'")
+    assert pred(_raw_batch().slice(0, 0)).tolist() == []
+
+
+# ------------------------------------------------- end-to-end vs the oracle
+def test_filtered_replay_equals_filtered_oracle(ray_session, tmp_path):
+    """`op == 'DELETE' or lang == 'python'`: deletes always apply (they carry
+    no image, like Canal's before-image-only DELETE), inserts/updates only
+    for python repos. `lang` is key-stable in the fixture, so the final lake
+    must equal the unfiltered oracle state restricted to lang == 'python'."""
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=400, n_events=4_000, n_segments=4, seed=71)
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=4,
+        epoch_segments=2, row_filter="op == 'DELETE' or lang == 'python'",
+    )
+    job = CdcJob(cfg)
+    job.run()
+    got = job.state_pandas()
+    oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
+    want = oracle_df[oracle_df["lang"] == "python"].reset_index(drop=True)
+    assert len(want) > 0 and len(want) < len(oracle_df)  # filter actually bites
+    assert state_digest(got) == state_digest(want)
