@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cdc_connector_drain,
         cdc_derived_lang_stats,
         cdc_replay_smoke,
+        cdc_row_filter_smoke,
+        cdc_schema_timeline,
     )
 
     return {
@@ -45,6 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incrementally maintained derived table (ES-adapter analog),
         # in-process recompute oracle on every call
         "cdc_derived_lang_stats": cdc_derived_lang_stats,  # rows-only
+        # row-level content predicate replay (aviator EL analog),
+        # in-process filtered-oracle assert on every call
+        "cdc_row_filter_smoke": cdc_row_filter_smoke,  # rows-only
+        # point-in-time schema rebuild (DatabaseTableMeta.rollback analog)
+        "cdc_schema_timeline": cdc_schema_timeline,  # rows-only
         # --- CDC semantics over the events change stream -----------------
         "cdc_latest_state_by_user": R.latest_events_by_user,
         "cdc_event_type_stats": R.event_type_stats,

@@ -162,6 +162,65 @@ def main() -> None:
     ray.shutdown()
 
 
+QUARTER_PARAMS = dict(
+    n_base=100_000,
+    n_events=6_000_000,
+    n_segments=12,
+    seed=101,
+    content_scale=160.0,
+)
+
+
+def run_cdc_quarter(num_cpus: int) -> None:
+    """Quarter-size replay (6M events, 12 segments) for the WEAK-scaling leg:
+    8 CPUs on N/4 data vs 32 CPUs on N data. Perfect weak scaling = equal
+    wall time; on one box the 32-leg shares a single memory subsystem, so the
+    gap measures bandwidth contention, corroborating the strong-scaling
+    ceiling analysis."""
+    import shutil as _shutil
+
+    import ray
+
+    from canal_ray import CdcConfig, CdcJob
+    from canal_ray.loggen import generate_fixture, segment_paths
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.use_polars_sort = True
+    ctx.target_max_block_size = 256 * 1024 * 1024
+
+    qdir = os.path.join(BENCH_ROOT, "fixture_quarter")
+    generate_fixture(qdir, **QUARTER_PARAMS)
+    for p in segment_paths(qdir) + [os.path.join(qdir, "base", "repos.parquet")]:
+        with open(p, "rb", buffering=1 << 22) as f:
+            while f.read(1 << 24):
+                pass
+    lake = os.path.join(BENCH_ROOT, f"lake_q_{num_cpus}")
+    _shutil.rmtree(lake, ignore_errors=True)
+    cfg = CdcConfig(
+        log_dir=os.path.join(qdir, "binlog"), lake_dir=lake,
+        base_table=os.path.join(qdir, "base", "repos.parquet"),
+        num_partitions=64, epoch_segments=4, epochs_per_cycle=7,
+        decode_batch_size=128 * 1024,
+    )
+    t0 = time.perf_counter()
+    CdcJob(cfg).run()
+    wall = time.perf_counter() - t0
+    n = QUARTER_PARAMS["n_events"] + QUARTER_PARAMS["n_base"]
+    print(
+        json.dumps(
+            {"quarter_sec": round(wall, 3), "events_per_sec": round(n / wall, 1)}
+        )
+    )
+    ray.shutdown()
+
+
 def cpu_probe(num_cpus: int) -> None:
     """Machine-scaling calibration: a pure-CPU, zero-shuffle Ray workload.
 
@@ -228,21 +287,70 @@ def bw_probe(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def run_sub(args: list[str], ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    # Pin the N-CPU leg to N physical cores: ray.init(num_cpus=N) only
+    # caps scheduling slots, but workers' internal thread pools (Arrow)
+    # would otherwise borrow the idle cores — a real N-core node can't.
+    prefix = ["taskset", "-c", f"0-{ncpu - 1}"] if ncpu < os.cpu_count() else []
+    out = subprocess.run(
+        [*prefix, sys.executable, os.path.abspath(__file__), *args],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def cdc_only() -> None:
+    """Full-fixture replay only (no query suite) — the 32-CPU weak-scaling leg."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.use_polars_sort = True
+    ctx.target_max_block_size = 256 * 1024 * 1024
+    ensure_fixture()
+    warm_cache()
+    print(json.dumps(run_cdc_replay(num_cpus)))
+    ray.shutdown()
+
+
+def weak_scaling() -> None:
+    """WEAK scaling: 8 CPUs on a quarter fixture (6.1M events) vs 32 CPUs on
+    the full fixture (24.4M events) — 4x data on 4x CPUs, best-of-2 each.
+    Perfect weak scaling = equal wall time (efficiency 1.0); the shortfall on
+    one box measures shared-memory-subsystem contention (each node of a real
+    4N cluster brings its own memory channels and disks)."""
+    q8 = min(
+        (run_sub(["--quarter"], 8) for _ in range(2)),
+        key=lambda r: r["quarter_sec"],
+    )
+    f32 = min(
+        (run_sub(["--cdc-only"], 32) for _ in range(2)), key=lambda r: r["sec"]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_weak_scaling",
+                "quarter_sec_8cpu": q8["quarter_sec"],
+                "full_sec_32cpu": f32["sec"],
+                "events_per_sec_8": q8["events_per_sec"],
+                "events_per_sec_32": f32["events_per_sec"],
+                "weak_scaling_efficiency": round(q8["quarter_sec"] / f32["sec"], 3),
+            }
+        )
+    )
+
+
 def scaling() -> None:
     """Same job, two fresh processes, 8 vs 32 CPUs -> scaling efficiency,
     plus the machine's pure-CPU scaling ceiling for calibration."""
-
-    def run_sub(args: list[str], ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        # Pin the N-CPU leg to N physical cores: ray.init(num_cpus=N) only
-        # caps scheduling slots, but workers' internal thread pools (Arrow)
-        # would otherwise borrow the idle cores — a real N-core node can't.
-        prefix = ["taskset", "-c", f"0-{ncpu - 1}"] if ncpu < os.cpu_count() else []
-        out = subprocess.run(
-            [*prefix, sys.executable, os.path.abspath(__file__), *args],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
 
     # two trials per level, best-of (hypervisor/turbo variance is +-15% on
     # this box; min is the least-noisy estimate of machine capability)
@@ -301,5 +409,11 @@ if __name__ == "__main__":
         cpu_probe(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     elif "--bw-probe" in sys.argv:
         bw_probe(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    elif "--weak-scaling" in sys.argv:
+        weak_scaling()
+    elif "--quarter" in sys.argv:
+        run_cdc_quarter(int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    elif "--cdc-only" in sys.argv:
+        cdc_only()
     else:
         main()

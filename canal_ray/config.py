@@ -80,6 +80,11 @@ class CdcConfig:
     partial_updates: bool = False
     hot_key_top_n: int = 8  # per-partition skew counter size (lineage)
 
+    # downstream handler chain (CanalEventDownStreamHandler SPI analog) —
+    # tuple of canal_ray.handlers.DownstreamHandler instances; before() runs
+    # in the decode stage on workers, retry()/after() on the driver
+    handlers: tuple = ()
+
     # free-form extras for experiments
     extras: dict = field(default_factory=dict)
 

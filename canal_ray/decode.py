@@ -240,6 +240,16 @@ def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table]
                 )
         if not out:
             return DECODED_SCHEMA.empty_table()
-        return _project(pa.concat_tables(out), init_names, cfg.partial_updates)
+        decoded = _project(pa.concat_tables(out), init_names, cfg.partial_updates)
+        if cfg.handlers:
+            from canal_ray.handlers import apply_before
+
+            decoded = apply_before(cfg.handlers, decoded)
+            if decoded.schema != DECODED_SCHEMA:
+                raise ValueError(
+                    "a before() handler changed the decoded wire schema; "
+                    "handlers must preserve canal_ray.decode.DECODED_SCHEMA"
+                )
+        return decoded
 
     return decode

@@ -1,0 +1,65 @@
+"""Downstream handler SPI — before/retry/after interceptors on the sink path.
+
+The reference exposes ``CanalEventDownStreamHandler`` (``sink/.../
+CanalEventDownStreamHandler.java``) and invokes the chain around every sink
+batch in ``EntryEventSink.java:176-209``: ``before(events)`` may transform
+the batch, ``retry(events)`` runs when the sink throws, ``after(events)``
+runs once the batch is stored. Typical uses: redaction/enrichment,
+dead-letter decisions, metrics side-channels.
+
+Ray-Data mapping (where each hook can actually run at 100 TB):
+
+  - ``before(batch)`` executes INSIDE the decode ``map_batches`` stage, on
+    workers, batch-at-a-time over the decoded wire format
+    (``canal_ray.decode.DECODED_SCHEMA``). It must be a pure, serializable
+    transform (it is cloudpickled to workers; driver-side state it mutates
+    will NOT be visible back on the driver). Returning a filtered/modified
+    table with the same schema is the contract.
+  - ``retry(exc, attempt)`` runs on the DRIVER when a consumption cycle
+    fails. Return True to re-run the cycle — per-(partition, epoch)
+    checkpoint fencing makes the re-run exactly-once-effect, so a retry is
+    always safe. Return False (default) to let the error propagate.
+  - ``after(epoch, manifest)`` runs on the DRIVER right after the epoch's
+    manifest (ack) is durably written — the at-least-once post-commit hook.
+
+Handlers are configured as ``CdcConfig.handlers = (H1(), H2(), ...)`` and
+run in order (before: first-to-last; after/retry: first-to-last), mirroring
+``AbstractCanalEventSink.addHandler`` ordering semantics.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+class DownstreamHandler:
+    """Base interceptor; subclass and override any subset of the hooks."""
+
+    def before(self, batch: pa.Table) -> pa.Table:
+        """Transform one decoded batch on the worker (pure, serializable)."""
+        return batch
+
+    def retry(self, exc: Exception, attempt: int) -> bool:
+        """Driver-side: True = re-run the failed cycle (fencing-safe)."""
+        return False
+
+    def after(self, epoch: int, manifest: dict) -> None:
+        """Driver-side: the epoch's ack manifest is durable."""
+
+
+def apply_before(handlers: tuple, batch: pa.Table) -> pa.Table:
+    for h in handlers:
+        batch = h.before(batch)
+    return batch
+
+
+def want_retry(handlers: tuple, exc: Exception, attempt: int) -> bool:
+    """True if ANY handler votes to retry (first-to-last, all are asked so
+    each can record the failure even when an earlier one already voted)."""
+    votes = [bool(h.retry(exc, attempt)) for h in handlers]
+    return any(votes)
+
+
+def fire_after(handlers: tuple, epoch: int, manifest: dict) -> None:
+    for h in handlers:
+        h.after(epoch, manifest)

@@ -58,6 +58,83 @@ def cdc_replay_smoke(sf_dir: str) -> pd.DataFrame:
     return eng.drop(columns=["content"])  # keep the result driver-friendly
 
 
+def cdc_row_filter_smoke(sf_dir: str) -> pd.DataFrame:
+    """Row-level predicate replay (AviaterELFilter analog): replays the smoke
+    fixture keeping only python-language events (plus all deletes — they
+    carry no image, like Canal's before-image-only DELETE) and asserts the
+    lake equals the unfiltered sequential oracle restricted to the python
+    language (key-stable in the fixture). The smoke log RENAMEs ``lang`` to
+    ``language`` mid-stream; a content predicate matches an event's OWN-era
+    column names (exactly the reference's EL filter semantics), so the
+    predicate names both eras. Rows-only at the driver; the oracle equality
+    assert runs in-process on every call."""
+    import hashlib
+    import json
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.loggen import generate_fixture
+    from canal_ray.oracle import replay_oracle, state_digest
+    from canal_ray.pipeline import CdcJob
+    from canal_ray.sink import DELTA_FORMAT_VERSION
+
+    root = "/tmp/canal_ray_smoke"
+    fix = os.path.join(root, "fixture")
+    meta = generate_fixture(fix, **_PARAMS)
+    predicate = "op == 'DELETE' or lang == 'python' or language == 'python'"
+    key = hashlib.sha256(
+        json.dumps(
+            [meta["params"], DELTA_FORMAT_VERSION, predicate], sort_keys=True
+        ).encode()
+    ).hexdigest()[:12]
+    lake = os.path.join(root, f"lake_rf_{key}")
+    cfg = CdcConfig(
+        log_dir=os.path.join(fix, "binlog"), lake_dir=lake,
+        base_table=os.path.join(fix, "base", "repos.parquet"),
+        num_partitions=8, epoch_segments=2, partial_updates=True,
+        row_filter=predicate,
+    )
+    job = CdcJob(cfg)
+    job.run()  # fenced no-op when already complete
+    eng = job.state_pandas()
+    oracle_df, _ = replay_oracle(fix, list(cfg.initial_schema))
+    want = oracle_df[oracle_df["language"] == "python"].reset_index(drop=True)
+    if state_digest(eng) != state_digest(want):
+        raise AssertionError("row-filtered replay diverged from filtered oracle")
+    return eng.drop(columns=["content"])
+
+
+def cdc_schema_timeline(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time schema (DatabaseTableMeta.rollback analog): every DDL
+    change point of the smoke log with lsn + fingerprint, asserting
+    ``schema_as_of`` at the last lsn equals the engine's final schema. The
+    per-position equivalence vs a sequential oracle is tests/test_tsdb.py."""
+    from canal_ray.config import CdcConfig
+    from canal_ray.loggen import generate_fixture
+    from canal_ray.tsdb import schema_as_of, schema_timeline
+
+    root = "/tmp/canal_ray_smoke"
+    fix = os.path.join(root, "fixture")
+    meta = generate_fixture(fix, **_PARAMS)
+    cfg = CdcConfig(
+        log_dir=os.path.join(fix, "binlog"), lake_dir=os.path.join(root, "nolake"),
+        partial_updates=True,
+    )
+    tl = schema_timeline(cfg)
+    final = schema_as_of(cfg, meta["last_lsn"], use_checkpoints=False)
+    if tl[-1]["fingerprint"] != final.fingerprint():
+        raise AssertionError("schema timeline end diverged from schema_as_of")
+    return pd.DataFrame(
+        {
+            "lsn": [t["lsn"] for t in tl],
+            "ddl_sql": [t["ddl_sql"] for t in tl],
+            "fingerprint": [t["fingerprint"] for t in tl],
+            "n_active_columns": [
+                sum(1 for c in t["columns"] if len(c) == 2 or not c[2]) for t in tl
+            ],
+        }
+    )
+
+
 def cdc_derived_lang_stats(sf_dir: str) -> pd.DataFrame:
     """ES-adapter analog: per-language aggregate table incrementally
     maintained off the change stream (ESSyncService.java:36-796 shape),

@@ -182,7 +182,20 @@ class CdcJob:
         while pending:
             k = max(1, cfg.epochs_per_cycle)
             cycle, pending = pending[:k], pending[k:]
-            schema, events = self._run_cycle(cycle, schema)
+            # downstream-handler retry loop (EntryEventSink.java:176-209):
+            # a cycle re-run is always safe — per-(partition, epoch) fencing
+            # turns already-applied work into no-ops
+            attempt = 0
+            while True:
+                try:
+                    schema, events = self._run_cycle(cycle, schema)
+                    break
+                except Exception as exc:
+                    from canal_ray.handlers import want_retry
+
+                    if not cfg.handlers or not want_retry(cfg.handlers, exc, attempt):
+                        raise
+                    attempt += 1
             total_events += events
             processed += len(cycle)
             cycles_done += 1
@@ -265,10 +278,12 @@ class CdcJob:
             sources.append(ray.data.read_parquet(log_segs))
         if not sources:
             for epoch, segs in cycle:
-                self.store.write_epoch(
-                    epoch,
-                    self._manifest(epoch, segs, schema, 0, epoch_clocks.get(epoch, 0)),
-                )
+                manifest = self._manifest(epoch, segs, schema, 0, epoch_clocks.get(epoch, 0))
+                self.store.write_epoch(epoch, manifest)
+                if cfg.handlers:
+                    from canal_ray.handlers import fire_after
+
+                    fire_after(cfg.handlers, epoch, manifest)
             return schema, 0
         ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
         ds = ds.map_batches(
@@ -324,10 +339,14 @@ class CdcJob:
             schema = self._advance_schema(schema, ss)
             events = int(sum(s["events"] for s in ss))
             total_events += events
-            self.store.write_epoch(
-                epoch,
-                self._manifest(epoch, segs, schema, events, epoch_clocks.get(epoch, 0)),
+            manifest = self._manifest(
+                epoch, segs, schema, events, epoch_clocks.get(epoch, 0)
             )
+            self.store.write_epoch(epoch, manifest)
+            if cfg.handlers:
+                from canal_ray.handlers import fire_after
+
+                fire_after(cfg.handlers, epoch, manifest)
         # metrics stream: one append-only parquet per cycle (collector analog)
         from canal_ray.metrics import MetricsLog, cycle_metric_rows
 

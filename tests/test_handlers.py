@@ -1,0 +1,151 @@
+"""Downstream handler SPI: before-transform on workers, after-ack on the
+driver, and the fencing-safe retry loop (EntryEventSink.java:176-209).
+
+Handler classes are built inside factory functions: classes defined at test
+module top-level are cloudpickled BY REFERENCE and Ray workers cannot import
+``test_handlers`` — function-local classes serialize by value.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from canal_ray.config import CdcConfig
+from canal_ray.handlers import DownstreamHandler
+from canal_ray.loggen import generate_fixture
+from canal_ray.oracle import replay_oracle, state_digest
+from canal_ray.pipeline import CdcJob
+
+
+def _drop_repo_handler(repo: str) -> DownstreamHandler:
+    """Redaction-style before(): drop every event of one repo (worker-side)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    class DropRepoBefore(DownstreamHandler):
+        def __init__(self, victim: str):
+            self.victim = victim
+
+        def before(self, batch: pa.Table) -> pa.Table:
+            keep = pc.fill_null(
+                pc.not_equal(batch["pk_repo"], pa.scalar(self.victim)), True
+            )
+            return batch.filter(keep)
+
+    return DropRepoBefore(repo)
+
+
+def _after_collector() -> DownstreamHandler:
+    """Driver-side after(): records (epoch, events) in ack order."""
+
+    class AfterCollector(DownstreamHandler):
+        def __init__(self):
+            self.acks: list[tuple[int, int]] = []
+
+        def after(self, epoch: int, manifest: dict) -> None:
+            self.acks.append((epoch, manifest["events"]))
+
+    return AfterCollector()
+
+
+def _chaos_handler(flag: str, vote_retry: bool) -> DownstreamHandler:
+    """before() raises while the flag file exists (workers see the shared
+    fs); retry() clears the flag and optionally votes to re-run the cycle."""
+
+    class FlagFileChaos(DownstreamHandler):
+        def __init__(self, flag_path: str, vote: bool):
+            self.flag = flag_path
+            self.vote = vote
+            self.retries = 0
+
+        def before(self, batch):
+            if os.path.exists(self.flag):
+                raise RuntimeError("injected sink failure")
+            return batch
+
+        def retry(self, exc: Exception, attempt: int) -> bool:
+            self.retries += 1
+            if self.vote and os.path.exists(self.flag):
+                os.unlink(self.flag)
+            return self.vote
+
+    return FlagFileChaos(flag, vote_retry)
+
+
+def _tamper_handler() -> DownstreamHandler:
+    import pyarrow as pa
+
+    class Tamper(DownstreamHandler):
+        def before(self, batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["ddl_sql"])
+
+    return Tamper()
+
+
+@pytest.fixture(scope="module")
+def fix(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("handlers_fix"))
+    generate_fixture(d, n_base=300, n_events=3_000, n_segments=4, seed=81)
+    return d
+
+
+def _cfg(fix: str, lake: str, **kw) -> CdcConfig:
+    return CdcConfig(
+        log_dir=f"{fix}/binlog", lake_dir=lake,
+        base_table=f"{fix}/base/repos.parquet",
+        num_partitions=4, epoch_segments=2, **kw,
+    )
+
+
+def _oracle(fix: str):
+    df, _ = replay_oracle(
+        fix, list(CdcConfig(log_dir="", lake_dir="").initial_schema)
+    )
+    return df
+
+
+def test_before_transform_and_after_ack(ray_session, fix, tmp_path):
+    oracle_df = _oracle(fix)
+    victim = oracle_df["repo"].iloc[0]
+    coll = _after_collector()
+    cfg = _cfg(fix, str(tmp_path / "lake"),
+               handlers=(_drop_repo_handler(victim), coll))
+    job = CdcJob(cfg)
+    report = job.run()
+    got = job.state_pandas()
+    want = oracle_df[oracle_df["repo"] != victim].reset_index(drop=True)
+    assert len(want) < len(oracle_df)
+    assert state_digest(got) == state_digest(want)
+    # after() fired once per epoch, in ack order, on the driver
+    epochs = [e for e, _ in coll.acks]
+    assert epochs == sorted(epochs) and epochs[-1] == report["last_epoch"]
+    assert sum(n for _, n in coll.acks) == report["events"]
+
+
+def test_retry_reruns_failed_cycle_exactly_once_effect(ray_session, fix, tmp_path):
+    flag = str(tmp_path / "chaos.flag")
+    open(flag, "w").close()
+    chaos = _chaos_handler(flag, vote_retry=True)
+    cfg = _cfg(fix, str(tmp_path / "lake"), handlers=(chaos,))
+    job = CdcJob(cfg)
+    job.run()
+    assert chaos.retries >= 1 and not os.path.exists(flag)
+    assert state_digest(job.state_pandas()) == state_digest(_oracle(fix))
+
+
+def test_no_retry_vote_propagates(ray_session, fix, tmp_path):
+    flag = str(tmp_path / "fatal.flag")
+    open(flag, "w").close()
+    cfg = _cfg(fix, str(tmp_path / "lake"),
+               handlers=(_chaos_handler(flag, vote_retry=False),))
+    with pytest.raises(Exception, match="injected sink failure"):
+        CdcJob(cfg).run()
+    os.unlink(flag)
+
+
+def test_schema_tamper_rejected(ray_session, fix, tmp_path):
+    cfg = _cfg(fix, str(tmp_path / "lake"), handlers=(_tamper_handler(),))
+    with pytest.raises(Exception, match="DECODED_SCHEMA|wire schema"):
+        CdcJob(cfg).run()
