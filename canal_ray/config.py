@@ -67,6 +67,13 @@ class CdcConfig:
     # fold deltas into per-partition base files every N consumption cycles
     # (None = only on explicit compact()); bounds merge-on-read fan-in
     compact_every_cycles: int | None = None
+    # EventTransactionBuffer analog: when True, epoch ack points are shifted
+    # back to the last COMPLETE transaction boundary, so an ack never splits
+    # a transaction even when transactions span segment files (the incomplete
+    # tail is consumed by the next epoch, which re-reads the overlap segment
+    # with an lsn window). Default False = epochs align to segments (sound
+    # when the log generator guarantees txns never span segments).
+    txn_aligned_epochs: bool = False
 
     # --- behavior flags ---------------------------------------------------
     filter_dml_insert: bool = False  # MysqlMultiStageCoprocessor.java:74-76

@@ -112,7 +112,11 @@ def _project(batch: pa.Table, init_names: list[str], deep_check: bool) -> pa.Tab
     )
 
 
-def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table], pa.Table]:
+def make_decoder(
+    cfg: CdcConfig,
+    precompact: bool = True,
+    lsn_window: tuple[int, int] | None = None,
+) -> Callable[[pa.Table], pa.Table]:
     """Build the per-batch decode function (a closure; compiled regexes are
     captured once — cheap enough for stateless tasks, no actor needed).
 
@@ -120,7 +124,14 @@ def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table]
     path wants it (fewer bytes through the shuffle, same final state), but a
     protocol consumer (``canal_ray.connector``) must see EVERY event exactly
     as Canal delivers them — and the combiner's effect depends on batch
-    boundaries, which a consumer-visible stream must not."""
+    boundaries, which a consumer-visible stream must not.
+
+    ``lsn_window=(lo, hi)`` drops every row outside the window BEFORE any
+    other processing. Required for txn-aligned cycles, which re-read an
+    overlap segment (rows below ``lo`` were applied by the previous cycle)
+    and defer an incomplete tail txn (rows above ``hi`` belong to the next
+    cycle — without the window, pre-compaction could let a deferred event
+    suppress an in-window event, corrupting the per-ack-point state)."""
     white = re.compile(cfg.table_filter, re.IGNORECASE) if cfg.table_filter else None
     black = (
         re.compile(cfg.table_black_filter, re.IGNORECASE)
@@ -152,6 +163,14 @@ def make_decoder(cfg: CdcConfig, precompact: bool = True) -> Callable[[pa.Table]
         n = batch.num_rows
         if n == 0:
             return DECODED_SCHEMA.empty_table()
+        if lsn_window is not None:
+            lsn_np = batch["lsn"].to_numpy()
+            in_win = (lsn_np >= lsn_window[0]) & (lsn_np <= lsn_window[1])
+            if not in_win.all():
+                if not in_win.any():
+                    return DECODED_SCHEMA.empty_table()
+                batch = batch.filter(pa.array(in_win))
+                n = batch.num_rows
         # --- subscribe filter (schema.table regex, lowercased like Canal) ---
         # dictionary-encode schema and table separately, then classify only
         # the distinct (schema, table) pairs (a handful) — no per-row string

@@ -149,6 +149,7 @@ def generate_fixture(
     p_partial: float = 0.0,
     rename_at: float | None = None,
     drop_at: float | None = None,
+    txn_span: bool = False,
     force: bool = False,
 ) -> dict:
     """Generate base table + binlog segments; returns the fixture meta dict.
@@ -169,6 +170,8 @@ def generate_fixture(
         params["rename_at"] = rename_at
     if drop_at is not None:
         params["drop_at"] = drop_at
+    if txn_span:
+        params["txn_span"] = True
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
@@ -235,6 +238,19 @@ def generate_fixture(
     seg_sizes[-1] += n_events - sum(seg_sizes)
     segments = []
 
+    # txn_span=True drops the "transactions never span segments" contract:
+    # one GLOBAL txn assignment is sliced per segment, so transactions
+    # straddle segment (and therefore naive epoch) boundaries — the input
+    # shape Canal's EventTransactionBuffer exists for; consumed by
+    # CdcConfig.txn_aligned_epochs (ack points shifted to txn boundaries)
+    global_txn = None
+    if txn_span:
+        sizes = rng.integers(1, 51, size=n_events // 2 + 4)
+        rep = np.repeat(np.arange(len(sizes)) + 1, sizes)[:n_events]
+        if len(rep) < n_events:
+            rep = np.concatenate([rep, np.full(n_events - len(rep), rep[-1])])
+        global_txn = rep.astype(np.int64)
+
     for seg in range(n_segments):
         n_ev = seg_sizes[seg]
         lsns = np.arange(lsn0, lsn0 + n_ev, dtype=np.int64)
@@ -277,15 +293,20 @@ def generate_fixture(
         key_idx[ins_positions] = n_base + n_inserted + np.arange(len(ins_positions))
         n_inserted += len(ins_positions)
 
-        # transactions: sizes 1..50, never spanning segments (Canal's
-        # EventTransactionBuffer groups by txn; our epochs align to segments)
-        txn_sizes = rng.integers(1, 51, size=n_ev // 2 + 2)
-        txn_rep = np.repeat(np.arange(len(txn_sizes)) + next_txn, txn_sizes)[:n_ev]
-        if len(txn_rep) < n_ev:
-            txn_rep = np.concatenate(
-                [txn_rep, np.full(n_ev - len(txn_rep), txn_rep[-1] if len(txn_rep) else next_txn)]
-            )
-        next_txn = int(txn_rep[-1]) + 1
+        # transactions: sizes 1..50. Default: never spanning segments (the
+        # original generator contract; epochs align to segments). With
+        # txn_span=True the global assignment is sliced, so txns straddle
+        # segment boundaries (exercises txn-aligned epoch planning).
+        if global_txn is not None:
+            txn_rep = global_txn[lsn0 - 1 : lsn0 - 1 + n_ev]
+        else:
+            txn_sizes = rng.integers(1, 51, size=n_ev // 2 + 2)
+            txn_rep = np.repeat(np.arange(len(txn_sizes)) + next_txn, txn_sizes)[:n_ev]
+            if len(txn_rep) < n_ev:
+                txn_rep = np.concatenate(
+                    [txn_rep, np.full(n_ev - len(txn_rep), txn_rep[-1] if len(txn_rep) else next_txn)]
+                )
+            next_txn = int(txn_rep[-1]) + 1
 
         # payload values ----------------------------------------------------
         commit = np.array(_hex_ids(rng, n_ev), dtype=object)

@@ -69,6 +69,35 @@ def _segment_stats(path: str) -> tuple[int, int, int]:
     return min(los), max(his), max(clocks)
 
 
+def _first_txn(path: str) -> int:
+    """txn_id of a segment's first event (one tiny row-group column read)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    t = pf.read_row_group(0, columns=["txn_id"])
+    return int(t["txn_id"][0].as_py())
+
+
+def _txn_cut(segs: list[str], next_first_txn: int) -> int | None:
+    """Last lsn in ``segs`` whose txn differs from the txn continuing into
+    the next epoch — the EventTransactionBuffer flush point. None if every
+    event in ``segs`` belongs to that spanning transaction (degenerate).
+
+    Scans row groups from the tail: a transaction is at most a few dozen
+    events, so the cut is found in the last row group — O(1 row group) of
+    two narrow columns per epoch boundary, not O(segment)."""
+    import pyarrow.parquet as pq
+
+    for seg in reversed(segs):
+        pf = pq.ParquetFile(seg)
+        for rg in range(pf.metadata.num_row_groups - 1, -1, -1):
+            t = pf.read_row_group(rg, columns=["lsn", "txn_id"])
+            mask = t["txn_id"].to_numpy() != next_first_txn
+            if mask.any():
+                return int(t["lsn"].to_numpy()[mask].max())
+    return None
+
+
 def _base_to_log(batch: pa.Table, cfg: CdcConfig) -> pa.Table:
     """Initial-snapshot rows -> lsn-0 INSERT events in the log wire format.
 
@@ -119,6 +148,9 @@ class CdcJob:
     def __init__(self, cfg: CdcConfig):
         self.cfg = cfg
         self.store = CheckpointStore(cfg.lake_dir)
+        # txn-aligned epoch windows (filled by run() when enabled)
+        self._cuts: dict[int, tuple[int, int]] = {}
+        self._overlap: dict[int, str | None] = {}
 
     # ------------------------------------------------------------------ plan
     def segment_files(self) -> list[str]:
@@ -152,6 +184,50 @@ class CdcJob:
             plan.append((len(plan), new[i : i + k]))
         return plan
 
+    # ------------------------------------------------- txn-aligned ack points
+    def _compute_cuts(
+        self, plan: list[tuple[int, list[str]]]
+    ) -> tuple[dict[int, tuple[int, int]], dict[int, str | None]]:
+        """EventTransactionBuffer analog: per-epoch lsn windows whose upper
+        bound is the last COMPLETE transaction boundary, plus the overlap
+        segment (previous epoch's last file) each epoch must re-read for the
+        deferred txn tail.
+
+        Acked epochs reuse the cut recorded in their manifest (``lsn_hi``) so
+        a tail-appended log never reinterprets an already-acked boundary.
+        The FINAL epoch acks through log end — an in-progress trailing txn
+        cannot be completed by a file replay (batch semantics at EOF, like
+        ``LocalBinLogConnection`` replay-to-EOF).
+        """
+        eps = [(e, segs) for e, segs in plan if e > 0 and segs]
+        cuts: dict[int, tuple[int, int]] = {}
+        overlap: dict[int, str | None] = {}
+        prev_hi = 0
+        prev_last_seg: str | None = None
+        prev_stats_max = -1
+        for i, (e, segs) in enumerate(eps):
+            manifest = self.store.read_epoch(e)
+            his = [_segment_stats(s)[1] for s in segs]
+            if manifest is not None:
+                # acked: reuse the cut that run actually used (segment-aligned
+                # max for epochs acked before txn alignment was enabled)
+                hi = int(manifest.get("lsn_hi", max(his)))
+            elif i + 1 < len(eps):
+                hi = _txn_cut(segs, _first_txn(eps[i + 1][1][0]))
+                if hi is None:  # whole epoch inside one spanning txn
+                    hi = prev_hi
+            else:
+                hi = max(his)
+            lo = prev_hi + 1
+            cuts[e] = (lo, hi)
+            overlap[e] = (
+                prev_last_seg if prev_last_seg is not None and prev_stats_max >= lo else None
+            )
+            prev_hi = hi
+            prev_last_seg = segs[-1]
+            prev_stats_max = max(his)
+        return cuts, overlap
+
     # ------------------------------------------------------------------- run
     def run(self, max_epochs: int | None = None) -> dict:
         """Consume all (or ``max_epochs``) un-acked epochs; resumable.
@@ -172,6 +248,9 @@ class CdcJob:
         if _timing:
             print(f"[phase] plan={_time.perf_counter() - _t0:.2f}s", flush=True)
         schema = self._schema_at(last)
+        self._cuts, self._overlap = (
+            self._compute_cuts(plan) if cfg.txn_aligned_epochs else ({}, {})
+        )
         processed = 0
         total_events = 0
         pending = [(e, s) for e, s in plan if e > last]
@@ -271,9 +350,20 @@ class CdcJob:
                 epoch_ranges.append((0, 0, 0))
             else:
                 los, his, clocks = zip(*(_segment_stats(s) for s in segs))
-                epoch_ranges.append((epoch, min(los), max(his)))
+                if epoch in self._cuts:  # txn-aligned window, not segment span
+                    epoch_ranges.append((epoch, *self._cuts[epoch]))
+                else:
+                    epoch_ranges.append((epoch, min(los), max(his)))
                 epoch_clocks[epoch] = max(clocks)
         log_segs = [s for e, segs in cycle for s in segs if e > 0]
+        first_log_epoch = next((e for e, segs in cycle if e > 0 and segs), None)
+        if first_log_epoch is not None:
+            ov = self._overlap.get(first_log_epoch)
+            if ov is not None and ov not in log_segs:
+                # previous cycle deferred an incomplete txn tail into this
+                # epoch: re-read the overlap segment (lsn window drops the
+                # already-applied head rows at decode)
+                log_segs = [ov, *log_segs]
         if log_segs:
             sources.append(ray.data.read_parquet(log_segs))
         if not sources:
@@ -286,8 +376,16 @@ class CdcJob:
                     fire_after(cfg.handlers, epoch, manifest)
             return schema, 0
         ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
+        window = None
+        if cfg.txn_aligned_epochs and epoch_ranges:
+            # bootstrap rows are lsn 0 -> the window's low end must admit
+            # them when epoch 0 is part of this cycle
+            window = (
+                min(lo for _, lo, _ in epoch_ranges),
+                max(hi for _, _, hi in epoch_ranges),
+            )
         ds = ds.map_batches(
-            make_decoder(cfg),
+            make_decoder(cfg, lsn_window=window),
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
         )
@@ -366,7 +464,7 @@ class CdcJob:
         self, epoch: int, segs: list[str], schema: TableSchema, events: int,
         clock_ms: int = 0,
     ) -> dict:
-        return {
+        out = {
             "epoch": epoch,
             "segments": [os.path.basename(s) for s in segs],
             "schema": schema.to_json(),
@@ -375,6 +473,11 @@ class CdcJob:
             # heartbeat-advanced source clock as of this ack point
             "max_execute_time_ms": int(clock_ms),
         }
+        if epoch in self._cuts:
+            # txn-aligned ack point: pin the cut so a tail-appended log never
+            # reinterprets an acked boundary (_compute_cuts reads this back)
+            out["lsn_hi"] = int(self._cuts[epoch][1])
+        return out
 
     def _schema_at(self, epoch: int) -> TableSchema:
         if epoch >= 0:

@@ -1,0 +1,140 @@
+"""Txn-aligned epochs (EventTransactionBuffer analog): ack points never
+split a transaction even when transactions span segment files.
+
+Reference semantics: ``sink/.../EventTransactionBuffer.java`` holds events
+until the transaction completes so downstream acks are txn-whole; here the
+epoch planner shifts each ack point back to the last complete-txn lsn and
+the next epoch re-reads the overlap segment under an lsn window.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from canal_ray.config import CdcConfig
+from canal_ray.loggen import generate_fixture
+from canal_ray.oracle import replay_oracle, state_digest
+from canal_ray.pipeline import CdcJob
+
+
+@pytest.fixture(scope="module")
+def fix(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("txn_fix"))
+    generate_fixture(
+        d, n_base=400, n_events=4_000, n_segments=4, seed=91, txn_span=True
+    )
+    return d
+
+
+def _txn_of(fix: str) -> pd.Series:
+    """lsn -> txn_id over the whole log (test-side ground truth)."""
+    frames = [
+        pd.read_parquet(p, columns=["lsn", "txn_id"])
+        for p in sorted(glob.glob(f"{fix}/binlog/*.parquet"))
+    ]
+    df = pd.concat(frames).sort_values("lsn")
+    return df.set_index("lsn")["txn_id"]
+
+
+def test_fixture_actually_spans_segments(fix):
+    segs = sorted(glob.glob(f"{fix}/binlog/*.parquet"))
+    spans = 0
+    for a, b in zip(segs, segs[1:]):
+        last = pd.read_parquet(a, columns=["txn_id"])["txn_id"].iloc[-1]
+        first = pd.read_parquet(b, columns=["txn_id"])["txn_id"].iloc[0]
+        spans += int(last == first)
+    assert spans >= 1  # the generator contract is really dropped
+
+
+def _cfg(fix: str, lake: str, **kw) -> CdcConfig:
+    return CdcConfig(
+        log_dir=f"{fix}/binlog", lake_dir=lake,
+        base_table=f"{fix}/base/repos.parquet",
+        num_partitions=4, epoch_segments=1, epochs_per_cycle=2,
+        txn_aligned_epochs=True, **kw,
+    )
+
+
+def test_acks_are_txn_whole_and_state_exact(ray_session, fix, tmp_path):
+    cfg = _cfg(fix, str(tmp_path / "lake"))
+    job = CdcJob(cfg)
+
+    # partial run: 3 epochs (bootstrap + 2 log epochs), mid-cycle boundary
+    job.run(max_epochs=3)
+    txn = _txn_of(fix)
+    manifests = []
+    e = 1
+    while (m := job.store.read_epoch(e)) is not None:
+        manifests.append(m)
+        e += 1
+    assert manifests and all("lsn_hi" in m for m in manifests)
+    # no interior ack point splits a transaction
+    for m in manifests[:-1]:
+        hi = m["lsn_hi"]
+        nxt = hi + 1
+        while nxt not in txn.index and nxt <= txn.index.max():
+            nxt += 1  # lsn gaps cannot occur in this log, but be safe
+        assert txn.loc[hi] != txn.loc[nxt], f"epoch {m['epoch']} split txn {txn.loc[hi]}"
+    # the partial lake state == sequential oracle AT the last acked cut
+    cut = manifests[-1]["lsn_hi"]
+    want, _ = replay_oracle(
+        fix, list(cfg.initial_schema), up_to_lsn=cut
+    )
+    assert state_digest(job.state_pandas()) == state_digest(want)
+
+    # resume to completion with a FRESH job (cut recomputation determinism)
+    job2 = CdcJob(cfg)
+    job2.run()
+    oracle_df, _ = replay_oracle(fix, list(cfg.initial_schema))
+    assert state_digest(job2.state_pandas()) == state_digest(oracle_df)
+    # interior acks still txn-whole over the full log
+    e, last = 1, job2.store.last_complete_epoch()
+    for e in range(1, last):
+        m = job2.store.read_epoch(e)
+        hi = m["lsn_hi"]
+        assert txn.loc[hi] != txn.loc[hi + 1]
+
+
+def test_tail_append_pins_acked_cuts(ray_session, fix, tmp_path):
+    """A log that grows after an ack must not reinterpret acked boundaries:
+    the final epoch acked through EOF keeps its manifest lsn_hi even though
+    the appended segment continues its trailing txn."""
+    live = str(tmp_path / "live")
+    os.makedirs(f"{live}/binlog")
+    shutil.copytree(f"{fix}/base", f"{live}/base")
+    segs = sorted(glob.glob(f"{fix}/binlog/*.parquet"))
+    for s in segs[:2]:
+        shutil.copy(s, f"{live}/binlog/")
+    cfg = _cfg(live, str(tmp_path / "lake"))
+    job = CdcJob(cfg)
+    job.run()
+    last1 = job.store.last_complete_epoch()
+    pinned = job.store.read_epoch(last1)["lsn_hi"]
+
+    for s in segs[2:]:
+        shutil.copy(s, f"{live}/binlog/")
+    job2 = CdcJob(cfg)
+    job2.run()
+    assert job2.store.read_epoch(last1)["lsn_hi"] == pinned  # boundary immutable
+    oracle_df, _ = replay_oracle(fix, list(cfg.initial_schema))
+    assert state_digest(job2.state_pandas()) == state_digest(oracle_df)
+
+
+def test_txn_aligned_equals_default_when_no_spans(ray_session, tmp_path):
+    """On a log whose txns never span segments, txn alignment must be a
+    no-op: identical final state, cuts == segment boundaries."""
+    d = str(tmp_path / "nospan")
+    generate_fixture(d, n_base=200, n_events=2_000, n_segments=2, seed=92)
+    lake_a, lake_b = str(tmp_path / "la"), str(tmp_path / "lb")
+    base = dict(log_dir=f"{d}/binlog", base_table=f"{d}/base/repos.parquet",
+                num_partitions=2, epoch_segments=1)
+    ja = CdcJob(CdcConfig(lake_dir=lake_a, txn_aligned_epochs=True, **base))
+    jb = CdcJob(CdcConfig(lake_dir=lake_b, **base))
+    ja.run()
+    jb.run()
+    assert state_digest(ja.state_pandas()) == state_digest(jb.state_pandas())
