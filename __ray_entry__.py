@@ -28,6 +28,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from canal_ray.ops import ann as A
     from canal_ray.ops import dedup as D
+    from canal_ray.ops import multimodal as M
     from canal_ray.ops import relational as R
     from canal_ray.ops import text as T
 
@@ -85,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_flags": T.quality_flags,
         "doc_lang_id": T.lang_id,  # oracle-backed (stopword-profile argmax)
         "doc_fingerprints": T.doc_fingerprints,  # oracle-backed (md5 rolling hash)
+        # --- multimodal plumbing (image/audio/video frame-sample; fake
+        # codecs, real Ray actor-pool stages; in-process spot-decode asserts)
+        "multimodal_media_features": M.multimodal_media_features,  # rows-only
         # --- similarity search ------------------------------------------
         "ann_cosine_topk": A.ann_cosine_topk,
         "ann_lsh_topk": A.ann_lsh_topk,  # rows-only (approximate)
