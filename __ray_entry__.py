@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": A.ann_cosine_topk,
         "ann_lsh_topk": A.ann_lsh_topk,  # rows-only (approximate)
         "ann_ivf_topk": A.ann_ivf_topk,  # rows-only (approximate)
+        # persisted bucket-partitioned index; directory-pruned probe reads
+        "ann_ivf_indexed_topk": A.ann_ivf_indexed_topk,  # rows-only
+
         "label_centroid_norms": A.label_centroid_norms,
     }
 

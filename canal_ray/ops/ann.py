@@ -235,6 +235,130 @@ def ann_ivf_topk(
     return out.to_pandas().astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
 
+# --- persisted IVF index (the 10^10-scale path, made real) ------------------
+
+def ann_ivf_build(
+    sf_dir: str,
+    index_dir: str,
+    n_clusters: int = 16,
+    train_sample: int = 2_048,
+) -> str:
+    """Build a PERSISTED inverted-file index: centroids + the corpus written
+    as bucket-partitioned parquet (one directory per cluster). Queries then
+    read ONLY their probed buckets' directories — candidate restriction
+    happens at the READ (directory pruning), not per batch in memory. The
+    build is a single streaming pass; resumable via a completion marker
+    (partial output is rebuilt, never trusted)."""
+    import os
+    import shutil
+
+    done = os.path.join(index_dir, "_COMPLETE")
+    if os.path.exists(done):
+        return index_dir
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+
+    sample = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(train_sample)
+        .to_pandas()
+    )
+    C = _kmeans(_matrix(sample["embedding"]), n_clusters)
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+
+    cref = ray.put(C)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        M = _matrix(batch["embedding"])
+        b = np.argmax(M @ ray.get(cref).T, axis=1).astype(np.int32)
+        # bucket rides BOTH as the hive partition key (directory pruning)
+        # and as a data column (partition-col values are path-encoded and
+        # dropped from the files themselves)
+        return batch.assign(bucket=b, bucket_id=b)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["bucket"]
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def ann_ivf_indexed_topk(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2_048,
+    index_root: str = "/tmp/canal_ray_ann",
+) -> pd.DataFrame:
+    """IVF query against the persisted index: read ONLY the probed bucket
+    directories, score, grouped top-k. Must return exactly what the
+    in-line :func:`ann_ivf_topk` returns (same seeded centroids) — asserted
+    in tests as an equivalence oracle."""
+    import hashlib
+    import os
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{n_clusters}|{train_sample}|v1".encode()
+    ).hexdigest()[:12]
+    index_dir = ann_ivf_build(
+        sf_dir, os.path.join(index_root, key), n_clusters, train_sample
+    )
+
+    qids, Q = _load_queries(sf_dir, n_queries)
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+
+    wanted = sorted({int(b) for row in probe for b in row})
+    # expand probed bucket directories to their files (read_parquet takes a
+    # flat file list); unprobed buckets are never opened — the point
+    paths = []
+    for b in wanted:
+        d = os.path.join(index_dir, "buckets", f"bucket={b}")
+        if os.path.isdir(d):
+            paths += [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+    ref = ray.put((qids, Q, probe))
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        _qids, _Q, _probe = ray.get(ref)
+        M = _matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy()
+        buckets = batch["bucket_id"].to_numpy()
+        frames = []
+        for qi, qid in enumerate(_qids):
+            mask = np.isin(buckets, _probe[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            S = _Q[qi] @ M[mask].T
+            frames.append(pd.DataFrame({"query_id": qid, "vec_id": ids[mask], "score": S}))
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "bucket_id"])
+    partials = ds.map_batches(per_batch, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return out.to_pandas().astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+
+
 def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
     """Per-label centroid L2 norms — grouped vector aggregate via per-batch
     partial sums (one (label, sumvec, n) row per label per batch)."""

@@ -133,3 +133,26 @@ def test_ivf_ann_recall(ray_session):
     assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_ivf_indexed_equals_inline(ray_session, tmp_path):
+    """The persisted-index IVF path must return exactly the in-line IVF
+    result (same seeded centroids) — equivalence oracle for the index build
+    + directory-pruned read."""
+    from canal_ray.ops.ann import ann_ivf_indexed_topk, ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    inline = ann_ivf_topk(sf, n_clusters=16, nprobe=4)
+    indexed = ann_ivf_indexed_topk(
+        sf, n_clusters=16, nprobe=4, index_root=str(tmp_path / "ivf")
+    )
+    a = inline.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = indexed.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # second call hits the completed index (resumable build marker)
+    indexed2 = ann_ivf_indexed_topk(
+        sf, n_clusters=16, nprobe=4, index_root=str(tmp_path / "ivf")
+    )
+    pd.testing.assert_frame_equal(
+        b, indexed2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
