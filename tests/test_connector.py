@@ -81,3 +81,36 @@ def test_get_ack_rollback_and_crash_resume(ray_session, tmp_path):
         .count()
     )
     assert total == full
+
+
+def test_connector_row_filter_delivery(ray_session, tmp_path):
+    """A content predicate restricts DELIVERED events (AviaterELFilter on the
+    consumer path): only matching DML arrives; DDL/TRUNCATE still flow."""
+    from canal_ray.config import CdcConfig
+    from canal_ray.connector import CdcConnector
+    from canal_ray.loggen import generate_fixture
+
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=200, n_events=2_000, n_segments=2, seed=83)
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "meta"),
+        num_partitions=2, epoch_segments=1,
+        row_filter="lang == 'python'",
+    )
+    conn = CdcConnector(cfg, client_id="rf")
+    tables = [t for _, t in conn.drain()]
+    import pyarrow as pa
+
+    all_events = pa.concat_tables(tables)
+    ops = set(all_events["op"].to_pylist())
+    assert "DDL" in ops  # meta events exempt from the predicate
+    # every delivered DML row is a python-lang event: decode collapses cols,
+    # so check vals position of lang in the full-image prefix
+    import numpy as np
+
+    dml = all_events.filter(
+        pa.compute.is_in(all_events["op"], value_set=pa.array(["INSERT", "UPDATE"]))
+    )
+    assert dml.num_rows > 0
+    langs = {v[3] for v in dml["vals"].to_pylist() if v is not None and len(v) >= 4}
+    assert langs == {"python"}
