@@ -77,7 +77,10 @@ def run_cdc_replay(num_cpus: int) -> dict:
         num_partitions=64,
         epoch_segments=4,  # fine-grained ack points ...
         epochs_per_cycle=7,  # ... batched through one exchange per cycle
-        decode_batch_size=128 * 1024,
+        # 64k: consistently fastest at 32 CPUs (22.0s vs 24.8 at 128k and
+        # 30.7 at 256k — finer batches pipeline the fused read->decode->
+        # scatter chain better under bandwidth contention); neutral at 8
+        decode_batch_size=64 * 1024,
         # exchange defaults to "scatter": disk-fragment exchange, nothing
         # accumulates in the object store (r2; ~25% faster than the sort
         # shuffle at 32 CPUs and the only mode that survives a 10^10-event
@@ -207,7 +210,7 @@ def run_cdc_quarter(num_cpus: int) -> None:
         log_dir=os.path.join(qdir, "binlog"), lake_dir=lake,
         base_table=os.path.join(qdir, "base", "repos.parquet"),
         num_partitions=64, epoch_segments=4, epochs_per_cycle=7,
-        decode_batch_size=128 * 1024,
+        decode_batch_size=64 * 1024,
     )
     t0 = time.perf_counter()
     CdcJob(cfg).run()

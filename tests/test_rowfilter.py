@@ -133,3 +133,78 @@ def test_filtered_replay_equals_filtered_oracle(ray_session, tmp_path):
     want = oracle_df[oracle_df["lang"] == "python"].reset_index(drop=True)
     assert len(want) > 0 and len(want) < len(oracle_df)  # filter actually bites
     assert state_digest(got) == state_digest(want)
+
+
+# --------------------------------------------- vectorization properties
+def _random_batch(seed: int, n: int = 60) -> pa.Table:
+    """Random raw-log batch with full images, patches, deletes, heartbeats,
+    post-DDL columns, and numeric-garbage values."""
+    rng = np.random.default_rng(seed)
+    ops, repos, paths, cols, vals, lsns = [], [], [], [], [], []
+    langs = ["python", "go", "rust", None]
+    for i in range(n):
+        kind = rng.integers(0, 5)
+        lsns.append(i + 1)
+        if kind == 4:
+            ops.append("MHEARTBEAT"); repos.append(None); paths.append(None)
+            cols.append(None); vals.append(None)
+            continue
+        repos.append(f"r{rng.integers(0, 5)}")
+        paths.append(f"p{rng.integers(0, 5)}")
+        if kind == 3:
+            ops.append("DELETE"); cols.append(None); vals.append(None)
+            continue
+        ops.append("UPDATE" if kind == 2 else "INSERT")
+        if kind == 2 and rng.random() < 0.5:  # minimal image
+            c = ["commit", "content"]
+            v = [f"c{i}", f"body{i}"]
+        else:
+            c = ["repo", "path", "commit", "lang", "content"]
+            v = [repos[-1], paths[-1], f"c{i}",
+                 langs[rng.integers(0, 4)], f"body{i} x" * rng.integers(1, 4)]
+            if rng.random() < 0.4:
+                c = c + ["stars"]
+                v = v + [str(rng.integers(0, 1000)) if rng.random() < 0.8 else "junk"]
+        cols.append(c); vals.append(v)
+    return pa.table(
+        {
+            "lsn": pa.array(lsns, type=pa.int64()),
+            "op": pa.array(ops, type=pa.string()),
+            "schema_name": pa.array(["mytest"] * n, type=pa.string()),
+            "table_name": pa.array(["repos"] * n, type=pa.string()),
+            "pk_repo": pa.array(repos, type=pa.string()),
+            "pk_path": pa.array(paths, type=pa.string()),
+            "cols": pa.array(cols, type=pa.list_(pa.string())),
+            "vals": pa.array(vals, type=pa.list_(pa.string())),
+        }
+    )
+
+
+_PREDICATES = [
+    "lang == 'python'",
+    "op == 'DELETE' or lang == 'python'",
+    "stars >= 500",
+    "stars == None",
+    "lang in ('go', 'rust') and length(content) > 8",
+    "matches(commit, 'c[0-9]') and not startswith(content, 'body1')",
+    "repo == 'r1' or (path == 'p2' and lang != None)",
+    "lsn > 10 and lsn <= 50",
+]
+
+
+@pytest.mark.parametrize("expr", _PREDICATES)
+def test_vectorized_mask_equals_per_row_eval(expr):
+    """Batch evaluation must equal evaluating each row alone (slice of 1) and
+    be invariant under row permutation — catches flat-offset/searchsorted
+    bugs in the cols/vals name resolution."""
+    pred = compile_predicate(expr)
+    for seed in range(5):
+        batch = _random_batch(seed)
+        full = pred(batch)
+        singles = np.array(
+            [pred(batch.slice(i, 1))[0] for i in range(batch.num_rows)]
+        )
+        assert (full == singles).all(), expr
+        perm = np.random.default_rng(seed + 99).permutation(batch.num_rows)
+        shuffled = pred(batch.take(pa.array(perm)))
+        assert (shuffled == full[perm]).all(), expr
