@@ -45,6 +45,8 @@ def load_config(args: argparse.Namespace):
         epoch_segments=args.epoch_segments,
         epochs_per_cycle=args.epochs_per_cycle,
         exchange=args.exchange,
+        row_filter=args.row_filter,
+        txn_aligned_epochs=args.txn_aligned,
     )
 
 
@@ -57,7 +59,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--epoch-segments", type=int, default=4)
     p.add_argument("--epochs-per-cycle", type=int, default=4)
-    p.add_argument("--exchange", choices=["sort", "scatter"], default="sort")
+    p.add_argument("--exchange", choices=["sort", "scatter"], default="scatter")
+    p.add_argument(
+        "--row-filter", default=None,
+        help="content predicate on DML events (canal_ray.rowfilter grammar)",
+    )
+    p.add_argument(
+        "--txn-aligned", action="store_true",
+        help="shift ack points to complete-transaction boundaries",
+    )
     p.add_argument("--follow", action="store_true", help="tail the log dir")
     p.add_argument("--poll-interval", type=float, default=2.0)
     p.add_argument("--max-idle-polls", type=int, default=3)

@@ -125,6 +125,25 @@ def test_tail_append_pins_acked_cuts(ray_session, fix, tmp_path):
     assert state_digest(job2.state_pandas()) == state_digest(oracle_df)
 
 
+def test_composes_with_sort_exchange_and_row_filter(ray_session, fix, tmp_path):
+    """txn alignment must hold on BOTH exchanges and compose with a content
+    predicate: the filtered lake equals the filtered sequential oracle."""
+    cfg = _cfg(
+        fix, str(tmp_path / "lake"),
+        exchange="sort", row_filter="op == 'DELETE' or lang == 'python'",
+    )
+    job = CdcJob(cfg)
+    job.run()
+    oracle_df, _ = replay_oracle(fix, list(cfg.initial_schema))
+    want = oracle_df[oracle_df["lang"] == "python"].reset_index(drop=True)
+    assert state_digest(job.state_pandas()) == state_digest(want)
+    txn = _txn_of(fix)
+    last = job.store.last_complete_epoch()
+    for e in range(1, last):
+        hi = job.store.read_epoch(e)["lsn_hi"]
+        assert txn.loc[hi] != txn.loc[hi + 1]
+
+
 def test_txn_aligned_equals_default_when_no_spans(ray_session, tmp_path):
     """On a log whose txns never span segments, txn alignment must be a
     no-op: identical final state, cuts == segment boundaries."""
