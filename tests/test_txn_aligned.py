@@ -157,3 +157,44 @@ def test_txn_aligned_equals_default_when_no_spans(ray_session, tmp_path):
     ja.run()
     jb.run()
     assert state_digest(ja.state_pandas()) == state_digest(jb.state_pandas())
+
+@pytest.mark.parametrize(
+    "gen,jobkw",
+    [
+        # spanning txns + rename + drop + minimal row images, scatter
+        (dict(seed=95, txn_span=True, rename_at=0.4, drop_at=0.7, p_partial=0.15),
+         dict(partial_updates=True, exchange="scatter", epochs_per_cycle=3)),
+        # spanning txns + TRUNCATE mid-stream, sort exchange
+        (dict(seed=96, txn_span=True, truncate_at=0.5),
+         dict(exchange="sort", num_partitions=3)),
+        # spanning txns + full DDL matrix + truncate together
+        (dict(seed=97, txn_span=True, rename_at=0.3, drop_at=0.8,
+              truncate_at=0.55, p_partial=0.1),
+         dict(partial_updates=True, epochs_per_cycle=2)),
+    ],
+)
+def test_txn_alignment_composes_with_ddl_truncate_partials(
+    ray_session, tmp_path, gen, jobkw
+):
+    """Stress matrix: txn-spanning logs composed with RENAME/DROP DDL,
+    TRUNCATE and minimal row images must still equal the sequential oracle,
+    with txn-whole interior acks."""
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=300, n_events=3_000, n_segments=4, **gen)
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet",
+        num_partitions=jobkw.pop("num_partitions", 4),
+        epoch_segments=1, txn_aligned_epochs=True, **jobkw,
+    )
+    job = CdcJob(cfg)
+    job.run(max_epochs=3)   # partial ...
+    job2 = CdcJob(cfg)
+    job2.run()              # ... resumed by a fresh job
+    oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
+    assert state_digest(job2.state_pandas()) == state_digest(oracle_df)
+    txn = _txn_of(d)
+    last = job2.store.last_complete_epoch()
+    for e in range(1, last):
+        hi = job2.store.read_epoch(e)["lsn_hi"]
+        assert txn.loc[hi] != txn.loc[hi + 1], f"epoch {e} split a txn"
