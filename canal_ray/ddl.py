@@ -77,6 +77,17 @@ _RENAME_RE = re.compile(
     re.IGNORECASE,
 )
 _DROP_RE = re.compile(_TBL + r"DROP\s+COLUMN\s+`?(?P<col>\w+)`?", re.IGNORECASE)
+# index DDL — the reference classifies these as their own event types
+# (EventType.CINDEX/DINDEX via DruidDdlParser SQLCreateIndex/SQLDropIndex
+# handling); they never change row data, only the table meta
+_ADD_IDX_RE = re.compile(
+    _TBL + r"ADD\s+(?:UNIQUE\s+)?(?:INDEX|KEY)\s+`?(?P<idx>\w+)`?\s*"
+    r"\((?P<cols>[^)]*)\)",
+    re.IGNORECASE,
+)
+_DROP_IDX_RE = re.compile(
+    _TBL + r"DROP\s+(?:INDEX|KEY)\s+`?(?P<idx>\w+)`?", re.IGNORECASE
+)
 
 
 @dataclass(frozen=True)
@@ -84,11 +95,13 @@ class DdlResult:
     """Structured DDL (DruidDdlParser.DdlResult analog)."""
 
     kind: str  # ADD_COLUMN | MODIFY_COLUMN | RENAME_COLUMN | DROP_COLUMN
+    #          | ADD_INDEX | DROP_INDEX (CINDEX/DINDEX event classes)
     schema_name: str | None
     table: str
-    column: str
+    column: str  # index name for ADD_INDEX/DROP_INDEX
     arrow_type: str | None = None  # for ADD/MODIFY
     new_name: str | None = None  # for RENAME
+    index_cols: tuple[str, ...] | None = None  # for ADD_INDEX
 
 
 def parse_ddl(sql: str) -> DdlResult | None:
@@ -98,6 +111,16 @@ def parse_ddl(sql: str) -> DdlResult | None:
     ``filterQueryDdl`` path drops unparseable DDL variants).
     """
     s = sql.strip()
+    m = _ADD_IDX_RE.match(s)
+    if m:
+        cols = tuple(c.strip().strip("`") for c in m.group("cols").split(",") if c.strip())
+        return DdlResult(
+            "ADD_INDEX", m.group("schema"), m.group("table"), m.group("idx"),
+            index_cols=cols,
+        )
+    m = _DROP_IDX_RE.match(s)
+    if m:
+        return DdlResult("DROP_INDEX", m.group("schema"), m.group("table"), m.group("idx"))
     m = _RENAME_RE.match(s)
     if m:
         return DdlResult(
@@ -139,7 +162,7 @@ class TableSchema:
     materialization + slot-indexed masks depend on this order).
     """
 
-    def __init__(self, columns):
+    def __init__(self, columns, indexes: dict | None = None):
         self._slots: list[Slot] = []
         for c in columns:
             if isinstance(c, Slot):
@@ -155,6 +178,10 @@ class TableSchema:
         names = [s.name for s in self._slots]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate columns: {names}")
+        # secondary indexes (CINDEX/DINDEX meta; no effect on row data)
+        self._indexes: dict[str, tuple[str, ...]] = {
+            str(k): tuple(str(c) for c in v) for k, v in (indexes or {}).items()
+        }
 
     # -- queries ----------------------------------------------------------
     def slots(self) -> list[Slot]:
@@ -254,27 +281,51 @@ class TableSchema:
                 return False  # idempotent replay / unknown
             s.dropped = True
             return True
+        if res.kind == "ADD_INDEX":
+            if res.column in self._indexes:
+                return False  # idempotent replay
+            for c in res.index_cols or ():
+                if self.resolve(c) is None:
+                    raise ValueError(
+                        f"index {res.column!r} references unknown column {c!r}"
+                    )
+            self._indexes[res.column] = tuple(res.index_cols or ())
+            return True
+        if res.kind == "DROP_INDEX":
+            return self._indexes.pop(res.column, None) is not None
         return False
 
     # -- (de)serialization for checkpoints --------------------------------
+    def indexes(self) -> dict[str, tuple[str, ...]]:
+        return dict(self._indexes)
+
     def to_json(self):
         """Compact form: 2-element entries while the slot is plain (so
         fingerprints/manifests of purely additive schemas stay byte-stable
-        across engine versions), 4-element once renamed/dropped."""
+        across engine versions), 4-element once renamed/dropped. Index-free
+        schemas keep the legacy bare-list shape; with indexes, a dict
+        ``{"slots": [...], "indexes": {...}}`` (from_json accepts both)."""
         out = []
         for s in self._slots:
             if not s.dropped and not s.aliases:
                 out.append([s.name, s.type])
             else:
                 out.append([s.name, s.type, s.dropped, list(s.aliases)])
+        if self._indexes:
+            return {
+                "slots": out,
+                "indexes": {k: list(v) for k, v in sorted(self._indexes.items())},
+            }
         return out
 
     @classmethod
     def from_json(cls, data) -> "TableSchema":
+        if isinstance(data, dict):
+            return cls(data["slots"], indexes=data.get("indexes"))
         return cls(data)
 
     def copy(self) -> "TableSchema":
-        return TableSchema(self._slots)
+        return TableSchema(self._slots, indexes=self._indexes)
 
     def __eq__(self, other) -> bool:
         return isinstance(other, TableSchema) and self.to_json() == other.to_json()

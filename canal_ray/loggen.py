@@ -72,6 +72,10 @@ DDL_SCHEDULE = [
 ]
 RENAME_SQL = "ALTER TABLE mytest.repos RENAME COLUMN lang TO language"
 DROP_SQL = "ALTER TABLE mytest.repos DROP COLUMN commit"
+# optional index DDL (EventType CINDEX analog; meta-only, no row effect);
+# references `lang` so it also exercises alias resolution when combined
+# with rename_at < index_at
+INDEX_SQL = "ALTER TABLE mytest.repos ADD INDEX idx_lang (lang)"
 # optional TRUNCATE event (EventType.TRUNCATE) at this fraction when
 # truncate_at is passed to generate_fixture
 TRUNCATE_SQL = "TRUNCATE TABLE mytest.repos"
@@ -149,6 +153,7 @@ def generate_fixture(
     p_partial: float = 0.0,
     rename_at: float | None = None,
     drop_at: float | None = None,
+    index_at: float | None = None,
     txn_span: bool = False,
     force: bool = False,
 ) -> dict:
@@ -170,6 +175,8 @@ def generate_fixture(
         params["rename_at"] = rename_at
     if drop_at is not None:
         params["drop_at"] = drop_at
+    if index_at is not None:
+        params["index_at"] = index_at
     if txn_span:
         params["txn_span"] = True
     if not force and os.path.exists(meta_path):
@@ -222,6 +229,11 @@ def generate_fixture(
         while drop_lsn in ddl_lsns:
             drop_lsn += 1
         ddl_lsns[drop_lsn] = DROP_SQL
+    if index_at is not None:
+        index_lsn = max(2, int(n_events * index_at))
+        while index_lsn in ddl_lsns:
+            index_lsn += 1
+        ddl_lsns[index_lsn] = INDEX_SQL
     truncate_lsn = None
     if truncate_at is not None:
         truncate_lsn = max(3, int(n_events * truncate_at))

@@ -129,7 +129,16 @@ def cdc_schema_timeline(sf_dir: str) -> pd.DataFrame:
             "ddl_sql": [t["ddl_sql"] for t in tl],
             "fingerprint": [t["fingerprint"] for t in tl],
             "n_active_columns": [
-                sum(1 for c in t["columns"] if len(c) == 2 or not c[2]) for t in tl
+                sum(
+                    1
+                    for c in (
+                        t["columns"]["slots"]
+                        if isinstance(t["columns"], dict)
+                        else t["columns"]
+                    )
+                    if len(c) == 2 or not c[2]
+                )
+                for t in tl
             ],
         }
     )

@@ -96,3 +96,65 @@ def test_rename_drop_digest_equals_oracle(ray_session, tmp_path, gen, jobkw):
     assert CdcJob(cfg).run()["epochs_processed"] == 0
     job.compact()
     assert state_digest(job.state_pandas()) == state_digest(orc)
+
+
+# ---------------------------------------------------- index DDL (CINDEX/DINDEX)
+def test_parse_index_ddl():
+    r = parse_ddl("ALTER TABLE mytest.repos ADD INDEX idx_lang (lang)")
+    assert r.kind == "ADD_INDEX" and r.column == "idx_lang" and r.index_cols == ("lang",)
+    r = parse_ddl("ALTER TABLE mytest.repos ADD UNIQUE KEY uq (`repo`, `path`)")
+    assert r.kind == "ADD_INDEX" and r.index_cols == ("repo", "path")
+    d = parse_ddl("ALTER TABLE mytest.repos DROP INDEX idx_lang")
+    assert d.kind == "DROP_INDEX" and d.column == "idx_lang"
+
+
+def test_index_ddl_schema_registry_semantics():
+    s = TableSchema([("a", "string"), ("b", "int32")])
+    plain_json = s.to_json()
+    plain_fp = s.fingerprint()
+    assert s.apply("ALTER TABLE t ADD INDEX ix (a, b)")
+    assert s.indexes() == {"ix": ("a", "b")}
+    assert not s.apply("ALTER TABLE t ADD INDEX ix (a, b)")  # idempotent
+    assert s.fingerprint() != plain_fp  # index is part of table meta identity
+    # json roundtrip (dict form) preserves indexes; active data schema unchanged
+    s2 = TableSchema.from_json(s.to_json())
+    assert s2 == s and s2.indexes() == {"ix": ("a", "b")}
+    assert [f.name for f in s2.to_arrow()] == ["a", "b"]
+    # index survives a column rename target resolution via alias
+    assert s.apply("ALTER TABLE t RENAME COLUMN a TO aa")
+    assert s.apply("ALTER TABLE t ADD INDEX ix2 (a)")  # old name resolves via alias
+    # drop restores the legacy bare-list json (fingerprint stability)
+    assert s.apply("ALTER TABLE t DROP INDEX ix")
+    assert s.apply("ALTER TABLE t DROP INDEX ix2")
+    assert not s.apply("ALTER TABLE t DROP INDEX ix")  # idempotent
+    # unknown column is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        s.apply("ALTER TABLE t ADD INDEX bad (zzz)")
+    # index-free schema keeps the byte-stable legacy shape
+    assert TableSchema([("a", "string"), ("b", "int32")]).to_json() == plain_json
+
+
+def test_index_ddl_end_to_end(ray_session, tmp_path):
+    """ADD INDEX flows through the stream: applied in every partition (same
+    fingerprint), carried in manifests (dict schema json), data unaffected,
+    resume fenced. Combined with a prior RENAME so the index target resolves
+    through the alias."""
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=200, n_events=2_000, n_segments=2, seed=44,
+                     rename_at=0.3, index_at=0.6)
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=2,
+        epoch_segments=1, partial_updates=True,
+    )
+    job = CdcJob(cfg)
+    job.run()
+    final = job.final_schema()
+    assert final.indexes() == {"idx_lang": ("lang",)}
+    # data unaffected: equals sequential oracle (oracle ignores index DDL)
+    oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
+    assert state_digest(job.state_pandas()) == state_digest(oracle_df)
+    # fenced re-run is a no-op with the dict-shaped schema json in manifests
+    assert CdcJob(cfg).run()["epochs_processed"] == 0
