@@ -228,8 +228,13 @@ class _Compiler(ast.NodeVisitor):
         if not isinstance(node.func, ast.Name) or node.func.id not in _HELPERS:
             raise ValueError(f"unknown function (allowed: {sorted(_HELPERS)})")
         fname = node.func.id
+        if node.keywords:
+            raise ValueError(f"{fname}() takes positional arguments only")
+        want = 1 if fname == "length" else 2
+        if len(node.args) != want:
+            raise ValueError(f"{fname}() takes exactly {want} argument(s)")
         if fname == "length":
-            (col,) = [self._value(a) for a in node.args]
+            col = self._value(node.args[0])
             return lambda ctx: pc.utf8_length(col(ctx))
         col_fn = self._value(node.args[0])
         arg = self._literal(node.args[1])

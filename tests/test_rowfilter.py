@@ -208,3 +208,34 @@ def test_vectorized_mask_equals_per_row_eval(expr):
         perm = np.random.default_rng(seed + 99).permutation(batch.num_rows)
         shuffled = pred(batch.take(pa.array(perm)))
         assert (shuffled == full[perm]).all(), expr
+
+
+def test_compile_never_crashes_on_garbage():
+    """Fuzz: arbitrary strings either raise ValueError/SyntaxError-as-ValueError
+    at compile time or produce a predicate that evaluates without crashing —
+    never an exec/import, never a hang, never a non-ValueError escape."""
+    rng = np.random.default_rng(7)
+    corpus = list("abc()'\"=<>!&|.,0123456789 _%[]{}xyz")
+    batch = _raw_batch()
+    compiled = 0
+    for _ in range(300):
+        n = int(rng.integers(1, 40))
+        s = "".join(rng.choice(corpus) for _ in range(n))
+        try:
+            pred = compile_predicate(s)
+        except (ValueError, SyntaxError):
+            continue
+        mask = pred(batch)  # must evaluate cleanly if it compiled
+        assert len(mask) == batch.num_rows
+        compiled += 1
+    # structured variants around the real grammar
+    for s in [
+        "lang == 'py' or", "== 'x'", "()", "not", "lang ==", "in ('a')",
+        "matches(lang)", "length()", "lang in []", "None == None",
+        "stars >= 'abc'", "'a' == lang",
+    ]:
+        try:
+            pred = compile_predicate(s)
+            pred(batch)
+        except (ValueError, SyntaxError):
+            pass
