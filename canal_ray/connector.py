@@ -50,7 +50,8 @@ class CdcConnector:
         # delivers the full change stream; the combiner is a sink-side
         # optimization whose effect depends on batch boundaries)
         self._decoder = make_decoder(cfg, precompact=False)
-        self._outstanding: tuple[int, int] | None = None  # (batch_id, epoch_hi)
+        # (batch_id, delivered [(epoch, segment_paths)]) — pinned at ack
+        self._outstanding: tuple[int, list] | None = None
         self._next_batch_id = 1
 
     # ------------------------------------------------------------ protocol
@@ -66,12 +67,26 @@ class CdcConnector:
         return int(obj["acked_epoch"]) if obj else -1
 
     def _epochs(self) -> list[tuple[int, list[str]]]:
+        """Epoch plan, stable under tailing (CdcJob.plan contract): an ACKED
+        epoch's segment assignment is pinned in the cursor file — segments
+        appended later go to NEW epochs, never into an already-acked chunk
+        (naive re-chunking would make the cursor silently skip them)."""
         d = self.cfg.log_dir
         segs = [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+        obj = read_json(self._cursor_path) or {}
+        pinned = {int(e): names for e, names in obj.get("epoch_segments", {}).items()}
+        by_name = {os.path.basename(p): p for p in segs}
+        plan: list[tuple[int, list[str]]] = []
+        consumed: set[str] = set()
+        for e in sorted(pinned):
+            plan.append((e, [by_name[n] for n in pinned[e] if n in by_name]))
+            consumed.update(pinned[e])
+        new = [p for p in segs if os.path.basename(p) not in consumed]
         k = max(1, self.cfg.epoch_segments)
-        return [
-            (i // k + 1, segs[i : i + k]) for i in range(0, len(segs), k)
-        ]
+        e0 = max(pinned) if pinned else 0
+        for i in range(0, len(new), k):
+            plan.append((e0 + i // k + 1, new[i : i + k]))
+        return plan
 
     def get_without_ack(self, epochs: int = 1) -> tuple[int, pa.Table] | None:
         """Next un-acked batch as (batch_id, decoded events table); None when
@@ -104,14 +119,23 @@ class CdcConnector:
             table = DECODED_SCHEMA.empty_table()
         batch_id = self._next_batch_id
         self._next_batch_id += 1
-        self._outstanding = (batch_id, pending[-1][0])
+        self._outstanding = (batch_id, pending)
         return batch_id, table
 
     def ack(self, batch_id: int) -> None:
-        """Advance the durable cursor past the outstanding batch."""
+        """Advance the durable cursor past the outstanding batch, PINNING the
+        delivered epochs' segment lists (immutable consumption history)."""
         if self._outstanding is None or self._outstanding[0] != batch_id:
             raise ValueError(f"no outstanding batch {batch_id}")
-        atomic_write_json(self._cursor_path, {"acked_epoch": self._outstanding[1]})
+        _, pending = self._outstanding
+        obj = read_json(self._cursor_path) or {"acked_epoch": -1}
+        epoch_segments = dict(obj.get("epoch_segments", {}))
+        for e, segs in pending:
+            epoch_segments[str(e)] = [os.path.basename(s) for s in segs]
+        atomic_write_json(
+            self._cursor_path,
+            {"acked_epoch": pending[-1][0], "epoch_segments": epoch_segments},
+        )
         self._outstanding = None
 
     def rollback(self, batch_id: int | None = None) -> None:

@@ -253,6 +253,26 @@ class TableSchema:
         if res.kind == "ADD_COLUMN":
             if res.column in active:
                 return False  # idempotent replay
+            # RE-USING a dropped column's name would create duplicate slot
+            # names (from_json then refuses the round-trip), and re-using a
+            # renamed column's OLD name makes stale-name resolution ambiguous
+            # (a pre-rename delta's column would bind to the wrong slot).
+            # MySQL allows the DDL, but our positional wire contract cannot
+            # represent it without a resnapshot — fail loudly, never corrupt.
+            for s in self._slots:
+                if s.dropped and (s.name == res.column or res.column in s.aliases):
+                    raise ValueError(
+                        f"ADD COLUMN {res.column!r} re-uses a dropped column's "
+                        "name; re-using names after DROP requires a fresh "
+                        "snapshot (positional slot identity would be ambiguous)"
+                    )
+                if not s.dropped and res.column in s.aliases:
+                    raise ValueError(
+                        f"ADD COLUMN {res.column!r} re-uses the pre-rename name "
+                        f"of column {s.name!r}; in-flight events naming "
+                        f"{res.column!r} would be ambiguous — rename requires "
+                        "retiring the old name first"
+                    )
             self._slots.append(Slot(res.column, res.arrow_type))
             return True
         if res.kind == "MODIFY_COLUMN":

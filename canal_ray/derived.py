@@ -119,7 +119,7 @@ def _partition_diff(
     for name in sorted(os.listdir(part_dir)):
         if not (name.startswith("delta_e") and name.endswith(".parquet")):
             continue
-        e = int(name[7:12])
+        e = int(name[7:-8])  # all digits: epochs past 99999 widen the field
         if cursor < e <= now:
             f = pq.ParquetFile(os.path.join(part_dir, name))
             md = f.schema_arrow.metadata or {}
@@ -189,6 +189,29 @@ class DerivedTable:
             return self.read()
         schema_json = job.final_schema().to_json()
         pk = job.cfg.pk_columns
+        # DDL guard: if a spec column's resolution CHANGED between the cursor
+        # and now (dropped, or renamed such that it binds differently), the
+        # contributions already folded into the base were computed under the
+        # old mapping and cannot be incrementally reversed — fall back to a
+        # full refresh for this update (the ES adapter's analog is a full
+        # re-ETL on mapping change). Pure renames that resolve to the same
+        # slot keep the incremental path.
+        if cur >= 0:
+            spec_cols = [self.group_col] + [
+                c for _, _, c in self.aggs if c is not None
+            ]
+            res_now = _resolve_cols(TableSchema.from_json(schema_json), spec_cols)
+            res_cur = _resolve_cols(job._schema_at(cur), spec_cols)
+            if res_now != res_cur:
+                folded = self.recompute(job)
+                import pyarrow as pa
+
+                _atomic_write_parquet(
+                    pa.Table.from_pandas(folded, preserve_index=False),
+                    self._table_path(now),
+                )
+                atomic_write_json(self._cursor_path, {"epoch": now})
+                return folded
         task = ray.remote(num_cpus=1)(_partition_diff)
         futures = [
             task.remote(d, schema_json, pk, cur, now, self.group_col, self.aggs)

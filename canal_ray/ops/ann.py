@@ -292,7 +292,7 @@ def ann_ivf_indexed_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     train_sample: int = 2_048,
-    index_root: str = "/tmp/canal_ray_ann",
+    index_root: str | None = None,
 ) -> pd.DataFrame:
     """IVF query against the persisted index: read ONLY the probed bucket
     directories, score, grouped top-k. Must return exactly what the
@@ -301,8 +301,21 @@ def ann_ivf_indexed_topk(
     import hashlib
     import os
 
+    # like every exchange/index location: node-local /tmp is only valid on a
+    # single node — point $CANAL_EXCHANGE_DIR (or index_root) at shared
+    # storage on a real cluster (build tasks and probe reads cross nodes)
+    if index_root is None:
+        index_root = os.path.join(
+            os.environ.get("CANAL_EXCHANGE_DIR", "/tmp"), "canal_ray_ann"
+        )
+    # the key includes the source file's identity (size + mtime), not just
+    # its path: a regenerated embeddings.parquet at the same path must not
+    # be served by a stale completed index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n_clusters}|{train_sample}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{n_clusters}|{train_sample}|v1".encode()
     ).hexdigest()[:12]
     index_dir = ann_ivf_build(
         sf_dir, os.path.join(index_root, key), n_clusters, train_sample

@@ -418,15 +418,22 @@ def simhash_docs(sf_dir: str, hash_fn: str = "md5") -> pd.DataFrame:
 
 
 def embedding_neardup_pairs(
-    sf_dir: str, threshold: float = 0.4, n_blocks: int = 8
+    sf_dir: str, threshold: float = 0.4, n_blocks: int = 8,
+    exchange_dir: str | None = None,
 ) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs — EXACT all-pairs via a distributed
     block-pair grid (the standard distributed similarity-join/matmul layout).
 
     Phase 1 (scatter): stream the embeddings table, L2-normalize per batch,
     and write each row into its ``vec_id % n_blocks`` block as parquet
-    fragments on shared storage — the corpus is never materialized on the
-    driver or broadcast whole (the r1 anti-pattern this replaces).
+    fragments — the corpus is never materialized on the driver or broadcast
+    whole (the r1 anti-pattern this replaces).
+
+    ``exchange_dir`` (or ``$CANAL_EXCHANGE_DIR``) is where the block
+    fragments land. On a multi-node cluster this MUST be shared storage —
+    scatter tasks and grid tasks run on different nodes, and a node-local
+    default like /tmp would leave each grid task reading only its own node's
+    fragments (silently missing pairs). The single-node default is /tmp.
     Phase 2 (grid): one task per block pair (i <= j) loads exactly two
     blocks, scores their cross product with one matmul, and emits pairs over
     the threshold. Per-task memory is O((n/B)^2 scores + 2 n/B vectors);
@@ -440,7 +447,8 @@ def embedding_neardup_pairs(
 
     import pyarrow.parquet as pq
 
-    work = tempfile.mkdtemp(prefix="neardup_blocks_", dir="/tmp")
+    root = exchange_dir or os.environ.get("CANAL_EXCHANGE_DIR", "/tmp")
+    work = tempfile.mkdtemp(prefix="neardup_blocks_", dir=root)
     try:
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 

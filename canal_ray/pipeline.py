@@ -65,7 +65,17 @@ def _segment_stats(path: str) -> tuple[int, int, int]:
         est = md.row_group(rg).column(et_idx).statistics
         if est is not None and est.max is not None:
             ts = est.max
-            clocks.append(int(ts.timestamp() * 1000) if hasattr(ts, "timestamp") else int(ts))
+            if hasattr(ts, "timestamp"):
+                # parquet timestamp stats come back tz-naive but ARE UTC
+                # (loggen writes timestamp('ms') from a UTC epoch base);
+                # naive .timestamp() would skew by the host's UTC offset
+                from datetime import timezone
+
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                clocks.append(int(ts.timestamp() * 1000))
+            else:
+                clocks.append(int(ts))
     return min(los), max(his), max(clocks)
 
 
@@ -150,7 +160,19 @@ class CdcJob:
         self.store = CheckpointStore(cfg.lake_dir)
         # txn-aligned epoch windows (filled by run() when enabled)
         self._cuts: dict[int, tuple[int, int]] = {}
-        self._overlap: dict[int, str | None] = {}
+        self._overlap: dict[int, list[str]] = {}
+        # segment footer stats cache — segment files are immutable once
+        # written (tailing appends NEW files), and cut computation + cycle
+        # setup both consult them; without the cache a tail poll re-reads
+        # O(total history) footers every run()
+        self._seg_stats_cache: dict[str, tuple[int, int, int]] = {}
+
+    def _seg_stats(self, path: str) -> tuple[int, int, int]:
+        got = self._seg_stats_cache.get(path)
+        if got is None:
+            got = _segment_stats(path)
+            self._seg_stats_cache[path] = got
+        return got
 
     # ------------------------------------------------------------------ plan
     def segment_files(self) -> list[str]:
@@ -201,13 +223,16 @@ class CdcJob:
         """
         eps = [(e, segs) for e, segs in plan if e > 0 and segs]
         cuts: dict[int, tuple[int, int]] = {}
-        overlap: dict[int, str | None] = {}
+        overlap: dict[int, list[str]] = {}
         prev_hi = 0
-        prev_last_seg: str | None = None
-        prev_stats_max = -1
+        # segments from EARLIER epochs that still hold rows above the running
+        # cut (a deferred txn can span several segments, and a degenerate
+        # whole-epoch-inside-one-txn defers every segment of that epoch) —
+        # each epoch's overlap is the whole carry, not just the last file
+        carry: list[tuple[str, int]] = []  # (path, stats_max_lsn)
         for i, (e, segs) in enumerate(eps):
             manifest = self.store.read_epoch(e)
-            his = [_segment_stats(s)[1] for s in segs]
+            his = [self._seg_stats(s)[1] for s in segs]
             if manifest is not None:
                 # acked: reuse the cut that run actually used (segment-aligned
                 # max for epochs acked before txn alignment was enabled)
@@ -220,12 +245,11 @@ class CdcJob:
                 hi = max(his)
             lo = prev_hi + 1
             cuts[e] = (lo, hi)
-            overlap[e] = (
-                prev_last_seg if prev_last_seg is not None and prev_stats_max >= lo else None
-            )
+            overlap[e] = [p for p, mx in carry if mx >= lo]
             prev_hi = hi
-            prev_last_seg = segs[-1]
-            prev_stats_max = max(his)
+            carry = [
+                (p, mx) for p, mx in (carry + list(zip(segs, his))) if mx > hi
+            ]
         return cuts, overlap
 
     # ------------------------------------------------------------------- run
@@ -349,7 +373,7 @@ class CdcJob:
                 )
                 epoch_ranges.append((0, 0, 0))
             else:
-                los, his, clocks = zip(*(_segment_stats(s) for s in segs))
+                los, his, clocks = zip(*(self._seg_stats(s) for s in segs))
                 if epoch in self._cuts:  # txn-aligned window, not segment span
                     epoch_ranges.append((epoch, *self._cuts[epoch]))
                 else:
@@ -358,12 +382,17 @@ class CdcJob:
         log_segs = [s for e, segs in cycle for s in segs if e > 0]
         first_log_epoch = next((e for e, segs in cycle if e > 0 and segs), None)
         if first_log_epoch is not None:
-            ov = self._overlap.get(first_log_epoch)
-            if ov is not None and ov not in log_segs:
-                # previous cycle deferred an incomplete txn tail into this
-                # epoch: re-read the overlap segment (lsn window drops the
-                # already-applied head rows at decode)
-                log_segs = [ov, *log_segs]
+            # previous cycles deferred an incomplete txn tail into this
+            # epoch: re-read every overlap segment still holding rows above
+            # the cut (the lsn window drops already-applied head rows at
+            # decode) — a spanning txn can straddle SEVERAL files
+            extra = [
+                ov
+                for ov in self._overlap.get(first_log_epoch, [])
+                if ov not in log_segs
+            ]
+            if extra:
+                log_segs = [*extra, *log_segs]
         if log_segs:
             sources.append(ray.data.read_parquet(log_segs))
         if not sources:

@@ -122,41 +122,50 @@ _CMP = {
 }
 
 
-def _to_mask(arr, n: int) -> np.ndarray:
-    """Arrow boolean (possibly with nulls) -> numpy keep-mask; null = False."""
+def _to_bool(arr, n: int) -> pa.Array:
+    """Normalize an evaluator result to a NULLABLE arrow boolean array —
+    boolean logic is three-valued (SQL/Kleene): null propagates through
+    and/or/not exactly as in SQL, so ``not (x == v)`` and ``x != v`` agree
+    on rows where the column is absent (both null -> dropped at the top)."""
     if isinstance(arr, np.ndarray):
-        return arr
-    return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+        return pa.array(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
 
 
 class _Compiler(ast.NodeVisitor):
-    """ast -> evaluator(Ctx) -> np.bool mask | pa.Array value."""
+    """ast -> evaluator(Ctx) -> nullable arrow boolean | pa.Array value."""
 
     def compile(self, expr: str) -> Callable[[_Ctx], np.ndarray]:
         tree = ast.parse(expr, mode="eval")
         fn = self._expr(tree.body)
-        return lambda ctx: _to_mask(fn(ctx), ctx.n)
 
-    # ---- boolean level ---------------------------------------------------
-    def _expr(self, node: ast.AST) -> Callable[[_Ctx], np.ndarray]:
+        def run(ctx: _Ctx) -> np.ndarray:
+            # the single null->False coercion happens HERE, after the full
+            # three-valued evaluation (null = unknown = row dropped)
+            return pc.fill_null(_to_bool(fn(ctx), ctx.n), False).to_numpy(
+                zero_copy_only=False
+            )
+
+        return run
+
+    # ---- boolean level (Kleene) -----------------------------------------
+    def _expr(self, node: ast.AST) -> Callable[[_Ctx], pa.Array]:
         if isinstance(node, ast.BoolOp):
             parts = [self._expr(v) for v in node.values]
-            if isinstance(node.op, ast.And):
-                def f_and(ctx):
-                    m = _to_mask(parts[0](ctx), ctx.n)
-                    for p in parts[1:]:
-                        m = m & _to_mask(p(ctx), ctx.n)
-                    return m
-                return f_and
-            def f_or(ctx):
-                m = _to_mask(parts[0](ctx), ctx.n)
+            kernel = pc.and_kleene if isinstance(node.op, ast.And) else pc.or_kleene
+
+            def f_bool(ctx):
+                m = _to_bool(parts[0](ctx), ctx.n)
                 for p in parts[1:]:
-                    m = m | _to_mask(p(ctx), ctx.n)
+                    m = kernel(m, _to_bool(p(ctx), ctx.n))
                 return m
-            return f_or
+
+            return f_bool
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
             inner = self._expr(node.operand)
-            return lambda ctx: ~_to_mask(inner(ctx), ctx.n)
+            return lambda ctx: pc.invert(_to_bool(inner(ctx), ctx.n))  # null stays null
         if isinstance(node, ast.Compare):
             return self._compare(node)
         if (
@@ -165,7 +174,7 @@ class _Compiler(ast.NodeVisitor):
             and node.func.id in ("matches", "contains", "startswith")
         ):
             fn = self._call(node)  # boolean-valued helpers usable bare
-            return lambda ctx: _to_mask(fn(ctx), ctx.n)
+            return lambda ctx: _to_bool(fn(ctx), ctx.n)
         raise ValueError(
             f"unsupported expression node {type(node).__name__!r} "
             "(allowed: and/or/not, comparisons, in, boolean helpers)"
@@ -183,19 +192,22 @@ class _Compiler(ast.NodeVisitor):
             negate = isinstance(op, ast.NotIn)
             def f_in(ctx):
                 arr = left_fn(ctx)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
                 m = pc.is_in(arr, value_set=pa.array(items, type=arr.type))
-                m = pc.fill_null(m, False)
-                got = m.to_numpy(zero_copy_only=False)
-                # NOT IN keeps null=False semantics: absent column matches neither
-                return (~got & _to_mask(pc.is_valid(arr), ctx.n)) if negate else got
+                # SQL semantics: null IN (...) and null NOT IN (...) are both
+                # null (is_in itself returns non-null False for nulls)
+                m = pc.if_else(pc.is_valid(arr), m, pa.nulls(ctx.n, pa.bool_()))
+                return pc.invert(m) if negate else m
             return f_in
 
         rv = self._literal(right)
         if rv is None and type(op) in (ast.Eq, ast.NotEq):
             want_null = isinstance(op, ast.Eq)
             def f_null(ctx):
-                valid = _to_mask(pc.is_valid(left_fn(ctx)), ctx.n)
-                return ~valid if want_null else valid
+                # IS [NOT] NULL is two-valued even in SQL — never null
+                valid = pc.is_valid(_to_bool(left_fn(ctx), ctx.n))
+                return pc.invert(valid) if want_null else valid
             return f_null
         kernel = _CMP.get(type(op))
         if kernel is None:

@@ -808,7 +808,9 @@ def merge_partition(
     truncate_lsn = 0
     for name in files:
         if name.startswith("delta_e") and name.endswith(".parquet"):
-            if up_to_epoch is not None and int(name[7:12]) > up_to_epoch:
+            # name = f"delta_e{epoch:05d}.parquet"; parse ALL digits (epochs
+            # past 99999 widen the field — a fixed 5-char slice mis-parses)
+            if up_to_epoch is not None and int(name[7:-8]) > up_to_epoch:
                 continue
         elif name != "base.parquet":
             continue

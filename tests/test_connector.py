@@ -114,3 +114,45 @@ def test_connector_row_filter_delivery(ray_session, tmp_path):
     assert dml.num_rows > 0
     langs = {v[3] for v in dml["vals"].to_pylist() if v is not None and len(v) >= 4}
     assert langs == {"python"}
+
+
+def test_connector_tail_append_delivers_new_segments(ray_session, tmp_path):
+    """Segments appended AFTER an ack must reach the client: acked epochs'
+    segment lists are pinned in the cursor (CdcJob.plan contract) — naive
+    re-chunking would absorb new files into an already-acked epoch and the
+    cursor would silently skip them (event loss)."""
+    import glob
+    import os
+    import shutil
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.connector import CdcConnector
+    from canal_ray.loggen import generate_fixture
+
+    d = str(tmp_path / "full")
+    generate_fixture(d, n_base=100, n_events=1_200, n_segments=6, seed=85)
+    segs = sorted(glob.glob(f"{d}/binlog/*.parquet"))
+    live = str(tmp_path / "live")
+    os.makedirs(f"{live}/binlog")
+    # 3 segments with epoch_segments=2 -> epoch 2 is PARTIAL when acked
+    for s in segs[:3]:
+        shutil.copy(s, f"{live}/binlog/")
+    cfg = CdcConfig(
+        log_dir=f"{live}/binlog", lake_dir=str(tmp_path / "meta"),
+        num_partitions=2, epoch_segments=2,
+    )
+    conn = CdcConnector(cfg, client_id="tail")
+    n1 = sum(t.num_rows for _, t in conn.drain())
+    assert conn.acked_epoch() == 2  # epochs 1 (2 segs) + 2 (1 seg, partial)
+
+    for s in segs[3:]:
+        shutil.copy(s, f"{live}/binlog/")
+    # fresh client object, same cursor (crash/restart between polls)
+    conn2 = CdcConnector(cfg, client_id="tail")
+    n2 = sum(t.num_rows for _, t in conn2.drain())
+    assert n2 > 0  # the appended segments ARE delivered
+
+    # a from-scratch client over the full log sees exactly the same events
+    conn3 = CdcConnector(cfg, client_id="fresh")
+    n_all = sum(t.num_rows for _, t in conn3.drain())
+    assert n1 + n2 == n_all

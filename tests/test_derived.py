@@ -75,3 +75,36 @@ def test_incremental_with_rename_drop_and_truncate(ray_session, tmp_path):
     inc = dt.update(job)
     _assert_same(inc, dt.recompute(job))
     assert list(inc.columns) == ["lang", "n_files", "total_chars", "total_stars"]
+
+
+def test_drop_of_agg_column_mid_span_falls_back_to_recompute(ray_session, tmp_path):
+    """An aggregated column DROPPED between updates cannot be incrementally
+    reversed (the base table holds contributions computed under the old
+    mapping, and untouched keys are never revisited) — update() must detect
+    the resolution change and refresh from live state (ES full re-ETL on
+    mapping change)."""
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=300, n_events=4_000, n_segments=4, seed=63,
+                     drop_at=0.8)  # drops `commit`
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=4,
+        epoch_segments=1, epochs_per_cycle=1, partial_updates=True,
+    )
+    job = CdcJob(cfg)
+    dt = DerivedTable(
+        cfg.lake_dir, "commit_stats", "lang",
+        [("n_files", "count", None), ("commit_chars", "strlen", "commit")],
+    )
+    # stage 1: before the drop — commit contributes nonzero strlen sums
+    job.run(max_epochs=3)
+    inc1 = dt.update(job)
+    _assert_same(inc1, dt.recompute(job))
+    assert inc1["commit_chars"].sum() > 0
+
+    # stage 2: the drop lands in this span — incremental would keep stale
+    # commit_chars forever; the guard must fall back to full refresh
+    job.run()
+    inc2 = dt.update(job)
+    _assert_same(inc2, dt.recompute(job))
+    assert inc2["commit_chars"].sum() == 0  # dropped column contributes 0

@@ -239,3 +239,13 @@ def test_compile_never_crashes_on_garbage():
             pred(batch)
         except (ValueError, SyntaxError):
             pass
+
+
+def test_not_agrees_with_negated_comparison_under_nulls():
+    """SQL three-valued logic: `not (x == v)` must equal `x != v` even on
+    rows where the column is absent (both null -> dropped)."""
+    assert _mask("not (lang == 'python')") == _mask("lang != 'python'")
+    assert _mask("not (stars >= 500)") == _mask("stars < 500")
+    assert _mask("not (lang in ('go', 'rust'))") == _mask("lang not in ('go', 'rust')")
+    # null propagates through and/or (Kleene): null or True = True
+    assert _mask("lang == 'nope' or op != None") == [True] * 7
