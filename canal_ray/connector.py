@@ -66,27 +66,45 @@ class CdcConnector:
         obj = read_json(self._cursor_path)
         return int(obj["acked_epoch"]) if obj else -1
 
+    def _consumed_files(self, obj: dict, n_present: int) -> int:
+        """Consumed-file watermark from the cursor, migrating older formats.
+
+        Segment names are monotonically increasing (binlog rotation / the
+        generator's ``segment_%05d``), so consumption is always a PREFIX of
+        the sorted listing and one integer is the full pinning state — O(1)
+        per ack instead of an ever-growing per-epoch history.
+
+        Migrations (both at-least-once — re-delivery over loss):
+          - interim format with ``epoch_segments``: watermark = total pinned;
+          - legacy format (``acked_epoch`` only, pre-pinning): the acked
+            partial epoch's true extent is unknowable, so assume the MINIMUM
+            it could have held (one file) — files it actually held beyond
+            that are re-delivered, never skipped.
+        """
+        if "consumed_files" in obj:
+            return int(obj["consumed_files"])
+        if "epoch_segments" in obj:
+            return sum(len(v) for v in obj["epoch_segments"].values())
+        a = int(obj.get("acked_epoch", -1))
+        if a < 1:
+            return 0
+        k = max(1, self.cfg.epoch_segments)
+        return min((a - 1) * k + 1, n_present)
+
     def _epochs(self) -> list[tuple[int, list[str]]]:
-        """Epoch plan, stable under tailing (CdcJob.plan contract): an ACKED
-        epoch's segment assignment is pinned in the cursor file — segments
-        appended later go to NEW epochs, never into an already-acked chunk
-        (naive re-chunking would make the cursor silently skip them)."""
+        """Epoch plan, stable under tailing (CdcJob.plan contract): acked
+        consumption is pinned by the watermark — segments appended later
+        always chunk into NEW epochs, never into an already-acked one (naive
+        re-chunking would make the cursor silently skip them)."""
         d = self.cfg.log_dir
         segs = [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
         obj = read_json(self._cursor_path) or {}
-        pinned = {int(e): names for e, names in obj.get("epoch_segments", {}).items()}
-        by_name = {os.path.basename(p): p for p in segs}
-        plan: list[tuple[int, list[str]]] = []
-        consumed: set[str] = set()
-        for e in sorted(pinned):
-            plan.append((e, [by_name[n] for n in pinned[e] if n in by_name]))
-            consumed.update(pinned[e])
-        new = [p for p in segs if os.path.basename(p) not in consumed]
+        a = int(obj.get("acked_epoch", -1))
+        n_done = self._consumed_files(obj, len(segs))
+        new = segs[n_done:]
         k = max(1, self.cfg.epoch_segments)
-        e0 = max(pinned) if pinned else 0
-        for i in range(0, len(new), k):
-            plan.append((e0 + i // k + 1, new[i : i + k]))
-        return plan
+        e0 = max(a, 0)
+        return [(e0 + i // k + 1, new[i : i + k]) for i in range(0, len(new), k)]
 
     def get_without_ack(self, epochs: int = 1) -> tuple[int, pa.Table] | None:
         """Next un-acked batch as (batch_id, decoded events table); None when
@@ -123,18 +141,21 @@ class CdcConnector:
         return batch_id, table
 
     def ack(self, batch_id: int) -> None:
-        """Advance the durable cursor past the outstanding batch, PINNING the
-        delivered epochs' segment lists (immutable consumption history)."""
+        """Advance the durable cursor past the outstanding batch: the epoch
+        number plus the consumed-file watermark (immutable history, O(1))."""
         if self._outstanding is None or self._outstanding[0] != batch_id:
             raise ValueError(f"no outstanding batch {batch_id}")
         _, pending = self._outstanding
         obj = read_json(self._cursor_path) or {"acked_epoch": -1}
-        epoch_segments = dict(obj.get("epoch_segments", {}))
-        for e, segs in pending:
-            epoch_segments[str(e)] = [os.path.basename(s) for s in segs]
+        d = self.cfg.log_dir
+        n_present = sum(1 for n in os.listdir(d) if n.endswith(".parquet"))
+        n_done = self._consumed_files(obj, n_present)
         atomic_write_json(
             self._cursor_path,
-            {"acked_epoch": pending[-1][0], "epoch_segments": epoch_segments},
+            {
+                "acked_epoch": pending[-1][0],
+                "consumed_files": n_done + sum(len(s) for _, s in pending),
+            },
         )
         self._outstanding = None
 

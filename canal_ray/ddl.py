@@ -305,7 +305,11 @@ class TableSchema:
             if res.column in self._indexes:
                 return False  # idempotent replay
             for c in res.index_cols or ():
-                if self.resolve(c) is None:
+                i = self.resolve(c)
+                # resolve() falls back to dropped slots for stale-value
+                # lookups; an INDEX over a dropped column is invalid meta
+                # (MySQL: "key column doesn't exist") — reject both cases
+                if i is None or self._slots[i].dropped:
                     raise ValueError(
                         f"index {res.column!r} references unknown column {c!r}"
                     )

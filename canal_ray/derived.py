@@ -200,12 +200,23 @@ class DerivedTable:
             spec_cols = [self.group_col] + [
                 c for _, _, c in self.aggs if c is not None
             ]
-            res_now = _resolve_cols(TableSchema.from_json(schema_json), spec_cols)
-            res_cur = _resolve_cols(job._schema_at(cur), spec_cols)
-            if res_now != res_cur:
-                folded = self.recompute(job)
-                import pyarrow as pa
 
+            def slot_identity(schema: TableSchema) -> dict:
+                # SLOT index + dropped flag, not the active name: a pure
+                # rename keeps the slot and must keep the incremental path
+                out = {}
+                for n in spec_cols:
+                    i = schema.resolve(n)
+                    out[n] = None if i is None or schema.is_dropped(i) else i
+                return out
+
+            now_schema = TableSchema.from_json(schema_json)
+            if slot_identity(now_schema) != slot_identity(job._schema_at(cur)):
+                if _resolve_cols(now_schema, [self.group_col])[self.group_col] is None:
+                    raise ValueError(
+                        f"derived group column {self.group_col!r} not in schema"
+                    )
+                folded = self.recompute(job)
                 _atomic_write_parquet(
                     pa.Table.from_pandas(folded, preserve_index=False),
                     self._table_path(now),

@@ -209,11 +209,12 @@ class CdcJob:
     # ------------------------------------------------- txn-aligned ack points
     def _compute_cuts(
         self, plan: list[tuple[int, list[str]]]
-    ) -> tuple[dict[int, tuple[int, int]], dict[int, str | None]]:
+    ) -> tuple[dict[int, tuple[int, int]], dict[int, list[str]]]:
         """EventTransactionBuffer analog: per-epoch lsn windows whose upper
         bound is the last COMPLETE transaction boundary, plus the overlap
-        segment (previous epoch's last file) each epoch must re-read for the
-        deferred txn tail.
+        CARRY — every earlier segment still holding rows above the epoch's
+        low bound (a deferred txn can span several files) that the epoch
+        must re-read for its deferred head.
 
         Acked epochs reuse the cut recorded in their manifest (``lsn_hi``) so
         a tail-appended log never reinterprets an already-acked boundary.

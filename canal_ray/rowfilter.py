@@ -122,8 +122,9 @@ _CMP = {
 }
 
 
-def _to_bool(arr, n: int) -> pa.Array:
-    """Normalize an evaluator result to a NULLABLE arrow boolean array —
+def _as_array(arr, n: int) -> pa.Array:
+    """Normalize an evaluator result to a plain (combined) arrow array —
+    for boolean expressions this keeps nulls intact:
     boolean logic is three-valued (SQL/Kleene): null propagates through
     and/or/not exactly as in SQL, so ``not (x == v)`` and ``x != v`` agree
     on rows where the column is absent (both null -> dropped at the top)."""
@@ -144,7 +145,7 @@ class _Compiler(ast.NodeVisitor):
         def run(ctx: _Ctx) -> np.ndarray:
             # the single null->False coercion happens HERE, after the full
             # three-valued evaluation (null = unknown = row dropped)
-            return pc.fill_null(_to_bool(fn(ctx), ctx.n), False).to_numpy(
+            return pc.fill_null(_as_array(fn(ctx), ctx.n), False).to_numpy(
                 zero_copy_only=False
             )
 
@@ -157,15 +158,15 @@ class _Compiler(ast.NodeVisitor):
             kernel = pc.and_kleene if isinstance(node.op, ast.And) else pc.or_kleene
 
             def f_bool(ctx):
-                m = _to_bool(parts[0](ctx), ctx.n)
+                m = _as_array(parts[0](ctx), ctx.n)
                 for p in parts[1:]:
-                    m = kernel(m, _to_bool(p(ctx), ctx.n))
+                    m = kernel(m, _as_array(p(ctx), ctx.n))
                 return m
 
             return f_bool
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
             inner = self._expr(node.operand)
-            return lambda ctx: pc.invert(_to_bool(inner(ctx), ctx.n))  # null stays null
+            return lambda ctx: pc.invert(_as_array(inner(ctx), ctx.n))  # null stays null
         if isinstance(node, ast.Compare):
             return self._compare(node)
         if (
@@ -174,7 +175,7 @@ class _Compiler(ast.NodeVisitor):
             and node.func.id in ("matches", "contains", "startswith")
         ):
             fn = self._call(node)  # boolean-valued helpers usable bare
-            return lambda ctx: _to_bool(fn(ctx), ctx.n)
+            return lambda ctx: _as_array(fn(ctx), ctx.n)
         raise ValueError(
             f"unsupported expression node {type(node).__name__!r} "
             "(allowed: and/or/not, comparisons, in, boolean helpers)"
@@ -189,12 +190,33 @@ class _Compiler(ast.NodeVisitor):
 
         if isinstance(op, (ast.In, ast.NotIn)):
             items = self._literal_list(right)
+            numeric_set = all(
+                isinstance(i, (int, float)) and not isinstance(i, bool)
+                for i in items
+            )
+            if not numeric_set and any(
+                isinstance(i, (int, float)) and not isinstance(i, bool)
+                for i in items
+            ):
+                raise ValueError("`in` lists must be all-string or all-numeric")
             negate = isinstance(op, ast.NotIn)
             def f_in(ctx):
                 arr = left_fn(ctx)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                m = pc.is_in(arr, value_set=pa.array(items, type=arr.type))
+                if numeric_set:
+                    # numeric membership coerces the string transport like
+                    # the comparison path (invalid values -> null -> dropped)
+                    try:
+                        arr = _as_float(arr)
+                    except pa.ArrowInvalid:
+                        arr = _safe_float(arr)
+                    vs = pa.array([float(i) for i in items], type=pa.float64())
+                else:
+                    vs = pa.array(items, type=pa.string())
+                    if not pa.types.is_string(arr.type):
+                        arr = pc.cast(arr, pa.string())
+                m = pc.is_in(arr, value_set=vs)
                 # SQL semantics: null IN (...) and null NOT IN (...) are both
                 # null (is_in itself returns non-null False for nulls)
                 m = pc.if_else(pc.is_valid(arr), m, pa.nulls(ctx.n, pa.bool_()))
@@ -206,7 +228,7 @@ class _Compiler(ast.NodeVisitor):
             want_null = isinstance(op, ast.Eq)
             def f_null(ctx):
                 # IS [NOT] NULL is two-valued even in SQL — never null
-                valid = pc.is_valid(_to_bool(left_fn(ctx), ctx.n))
+                valid = pc.is_valid(_as_array(left_fn(ctx), ctx.n))
                 return pc.invert(valid) if want_null else valid
             return f_null
         kernel = _CMP.get(type(op))
@@ -247,13 +269,25 @@ class _Compiler(ast.NodeVisitor):
             raise ValueError(f"{fname}() takes exactly {want} argument(s)")
         if fname == "length":
             col = self._value(node.args[0])
-            return lambda ctx: pc.utf8_length(col(ctx))
+
+            def f_len(ctx):
+                arr = _as_array(col(ctx), ctx.n)
+                if not pa.types.is_string(arr.type):
+                    # length of the value's string form (lsn etc. are usable)
+                    arr = pc.cast(arr, pa.string())
+                return pc.utf8_length(arr)
+
+            return f_len
         col_fn = self._value(node.args[0])
         arg = self._literal(node.args[1])
         if not isinstance(arg, str):
             raise ValueError(f"{fname}() needs a string literal argument")
         if fname == "matches":
-            pattern = re.compile(arg)  # validate eagerly
+            try:
+                pattern = re.compile(arg)  # validate eagerly
+            except re.error as e:
+                # the module contract: bad expressions fail with ValueError
+                raise ValueError(f"invalid regex in matches(): {e}") from e
             return lambda ctx: pc.match_substring_regex(
                 col_fn(ctx), f"^(?:{pattern.pattern})$"
             )
