@@ -432,10 +432,17 @@ class CdcJob:
                 cfg.lake_dir, "_fragments", f"cycle_e{cycle[0][0]:05d}"
             )
             shutil.rmtree(frag_dir, ignore_errors=True)  # stale crashed run
-            frag_rows = ds.map_batches(
+            scatter_ds = ds.map_batches(
                 make_scatter_fn(frag_dir, cfg.extras.get("frag_codec", "lz4")),
                 batch_format="pyarrow"
-            ).take_all()
+            )
+            frag_rows = scatter_ds.take_all()
+            # Ray Data's own per-operator stats for the fused
+            # read->decode->scatter chain (block sizes, task wall, throughput)
+            # — inspect via job.last_scatter_stats or CANAL_PHASE_TIMING=2
+            self.last_scatter_stats = scatter_ds.stats()
+            if _timing == "2":
+                print(self.last_scatter_stats, flush=True)
             _t1 = _time.perf_counter()
             frag_index: dict[int, list[tuple[str, int]]] = {}
             for r in sorted(frag_rows, key=lambda r: (r["fragment"], r["row_group"])):
