@@ -91,9 +91,11 @@ class CheckpointStore:
             return []
         out = []
         prefix = f"p{partition_id:05d}_e"
-        for name in sorted(os.listdir(self.ckpt_dir)):
-            if name.startswith(prefix):
-                obj = read_json(os.path.join(self.ckpt_dir, name))
-                if obj is not None:
-                    out.append(obj)
+        names = [n for n in os.listdir(self.ckpt_dir) if n.startswith(prefix)]
+        # numeric epoch order: past epoch 99999 the zero-padded field widens
+        # and lexicographic order breaks ('e100000' < 'e99999')
+        for name in sorted(names, key=lambda n: int(n[len(prefix):-5])):
+            obj = read_json(os.path.join(self.ckpt_dir, name))
+            if obj is not None:
+                out.append(obj)
         return out

@@ -29,15 +29,30 @@ import ray.data
 from canal_ray.loggen import segment_paths
 
 
-def merge_shard_logs(shard_dirs: list[str], out_dir: str) -> list[str]:
+def merge_shard_logs(
+    shard_dirs: list[str], out_dir: str, strict: bool = True
+) -> list[str]:
     """K-way merge N shard binlog fixtures into one merged log directory.
 
     Parallel: one Ray task per aligned segment index (the unit the timeline
     barrier synchronizes on). Returns the merged segment paths.
-    """
+
+    The barrier merges only up to the SHORTEST shard (TimelineBarrier
+    semantics: nothing can be emitted past the slowest source). For a
+    one-shot batch merge that silently truncating a longer shard would be
+    event loss, so ``strict=True`` (default) raises when shards are unequal;
+    ``strict=False`` is the tail-follow mode — call again after the laggard
+    catches up and the new aligned indices merge idempotently (atomic
+    per-segment replace)."""
     n_shards = len(shard_dirs)
     per_shard = [segment_paths(d) for d in shard_dirs]
     n_segs = min(len(p) for p in per_shard)
+    if strict and any(len(p) != n_segs for p in per_shard):
+        raise ValueError(
+            f"unequal shard segment counts {[len(p) for p in per_shard]}; the "
+            "timeline barrier would hold back the longer shards' tail — pass "
+            "strict=False for incremental (tail-follow) merging"
+        )
     os.makedirs(os.path.join(out_dir, "binlog"), exist_ok=True)
 
     items = [

@@ -5,8 +5,12 @@ The analog of Canal's Prometheus collectors
 metric names, monotone per-epoch samples, scrapeable storage. Here the
 "exporter" is an append-only parquet directory under ``<lake>/_metrics/`` —
 one file per consumption cycle (atomic rename), so a scraper can tail the
-directory without coordination and a re-run of an acked cycle never
-duplicates samples (the cycle file is rewritten with identical bytes).
+directory without coordination. Delivery is AT-LEAST-ONCE: the cycle file is
+written BEFORE the epoch manifests (acks), so a crash in between re-runs the
+cycle and re-emits a file whose counter samples are identical (the apply is
+deterministic) while gauges (delay) re-sample; consumers dedup by
+(epoch, partition_id, metric) keeping the latest sample. The inverse order
+would silently LOSE the samples of any cycle acked right before a crash.
 
 Liveness/delay follows Canal's heartbeat semantics
 (``parse/.../inbound/AbstractEventParser.java:528-555``): every event —
@@ -107,6 +111,8 @@ def cycle_metric_rows(
         clock = int(epoch_clocks.get(e, 0))
         rows.append({"epoch": e, "partition_id": p, "metric": PUT_ROWS, "value": s["events"]})
         rows.append({"epoch": e, "partition_id": p, "metric": ACK_ROWS, "value": s.get("delta_rows", 0)})
+        rows.append({"epoch": e, "partition_id": p, "metric": POISON_ROWS, "value": s.get("poison", 0)})
+        rows.append({"epoch": e, "partition_id": p, "metric": DDL_COUNT, "value": s.get("ddls", 0)})
         rows.append({"epoch": e, "partition_id": p, "metric": SOURCE_CLOCK_MS, "value": clock})
         rows.append(
             {

@@ -89,7 +89,14 @@ def replay_oracle(
             if up_to_lsn is not None and row["lsn"] > up_to_lsn:
                 return _finalize(state, schema)
             if row["op"] == "DDL":
-                _on_ddl(row["ddl_sql"])
+                # DDL must pass the SAME table filter the engine's decode
+                # applies (regex whitelist on schema.table) — a DDL targeting
+                # another table must not evolve this table's oracle schema
+                if (
+                    row["schema_name"] == want_schema
+                    and row["table_name"] == want_table
+                ):
+                    _on_ddl(row["ddl_sql"])
                 continue
             if row["schema_name"] != want_schema or row["table_name"] != want_table:
                 continue
@@ -153,12 +160,18 @@ def _finalize(state: dict, schema: TableSchema) -> tuple[pd.DataFrame, TableSche
 
 
 def row_sha256(df: pd.DataFrame) -> pd.Series:
-    """Canonical per-row hash: 'col=value' joined over sorted column names.
+    """Canonical per-row hash: json-escaped 'col=value' pairs joined over
+    sorted column names.
 
-    Nulls serialize as the empty marker '∅'; integers without '.0'. The same
-    function is applied to the oracle and the engine output, so equality of
-    hash multisets == row-for-row state equality.
+    Nulls serialize as the empty marker '∅'; integers without '.0'. String
+    values are json-escaped so separator characters inside payloads ('|',
+    '=', quotes) cannot make two different rows serialize identically — the
+    serialization is injective. The same function is applied to the oracle
+    and the engine output, so equality of hash multisets == row-for-row
+    state equality.
     """
+    import json as _json
+
     cols = sorted(df.columns)
     parts = []
     for c in cols:
@@ -172,7 +185,9 @@ def row_sha256(df: pd.DataFrame) -> pd.Series:
                 else repr(float(v))
             )
         else:
-            txt = s.astype(object).map(lambda v: "∅" if pd.isna(v) else str(v))
+            txt = s.astype(object).map(
+                lambda v: "∅" if pd.isna(v) else _json.dumps(str(v))
+            )
         parts.append(c + "=" + txt.astype(str))
     joined = parts[0]
     for p in parts[1:]:

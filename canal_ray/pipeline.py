@@ -464,6 +464,14 @@ class CdcJob:
                 .map_groups(applier, batch_format="pyarrow")
                 .take_all()
             )
+        # metrics BEFORE the acks (at-least-once: a crash between the two
+        # re-runs the cycle and re-emits identical counter samples; the
+        # inverse order would lose acked epochs' samples forever)
+        from canal_ray.metrics import MetricsLog, cycle_metric_rows
+
+        MetricsLog(cfg.lake_dir).append_cycle(
+            cycle[0][0], cycle_metric_rows(summaries, epoch_clocks)
+        )
         # per-epoch: verify schema consistency, ack with a manifest (in order)
         total_events = 0
         by_epoch: dict[int, list[dict]] = {}
@@ -482,12 +490,6 @@ class CdcJob:
                 from canal_ray.handlers import fire_after
 
                 fire_after(cfg.handlers, epoch, manifest)
-        # metrics stream: one append-only parquet per cycle (collector analog)
-        from canal_ray.metrics import MetricsLog, cycle_metric_rows
-
-        MetricsLog(cfg.lake_dir).append_cycle(
-            cycle[0][0], cycle_metric_rows(summaries, epoch_clocks)
-        )
         if cfg.exchange == "scatter":
             import shutil
 

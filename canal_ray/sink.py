@@ -73,6 +73,8 @@ SUMMARY_SCHEMA = pa.schema(
         pa.field("epoch", pa.int64()),
         pa.field("events", pa.int64()),
         pa.field("delta_rows", pa.int64()),
+        pa.field("poison", pa.int64()),
+        pa.field("ddls", pa.int64()),
         pa.field("lsn_min", pa.int64()),
         pa.field("lsn_max", pa.int64()),
         pa.field("schema_json", pa.string()),
@@ -220,8 +222,6 @@ def materialize_images(
             pieces.extend(p_pieces)
             poison_pieces.extend(p_poison)
 
-    n = dml.num_rows
-    ops = dml["op"].to_numpy(zero_copy_only=False)
     lengths = dml["img_len"].to_numpy(zero_copy_only=False)
     for length in np.unique(lengths):
         mask = lengths == length
@@ -667,7 +667,12 @@ def make_applier(
                 )
                 _atomic_write_parquet(pa.concat_tables(all_poison), qpath)
             poison = pa.concat_tables(all_poison) if all_poison else None
-            delta = typed  # already one row per key, lsn-ascending
+            # one row per key, but materialize_images regroups rows by image
+            # WIDTH (DELETEs, pre/post-DDL images) — restore the documented
+            # lsn-ascending delta layout before writing
+            delta = typed.take(
+                pc.sort_indices(typed, sort_keys=[(META_LSN, "ascending")])
+            )
         if column_filter is not None:
             keep = [c for c in schema.names() if c in set(column_filter) | set(pk)]
             delta = delta.select(keep + [META_LSN, META_DELETED, META_MASK])
@@ -765,6 +770,8 @@ def _summary_row(ckpt: dict) -> pa.Table:
             "epoch": pa.array([ckpt["epoch"]], type=pa.int64()),
             "events": pa.array([ckpt["events"]], type=pa.int64()),
             "delta_rows": pa.array([ckpt.get("delta_rows", 0)], type=pa.int64()),
+            "poison": pa.array([ckpt.get("poison", 0)], type=pa.int64()),
+            "ddls": pa.array([ckpt.get("ddls", 0)], type=pa.int64()),
             "lsn_min": pa.array([ckpt["lsn_min"]], type=pa.int64()),
             "lsn_max": pa.array([ckpt["lsn_max"]], type=pa.int64()),
             "schema_json": pa.array([json.dumps(ckpt["schema"])], type=pa.string()),
@@ -867,14 +874,19 @@ class LakeCompactor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for part_dir in batch["part_dir"].to_pylist():
+            # snapshot the delta list BEFORE merging and unlink exactly those
+            # files: a delta landing between the merge and a fresh listing
+            # (concurrent tail/follow writer) must never be deleted unfolded
+            folded = [
+                name
+                for name in sorted(os.listdir(part_dir))
+                if name.startswith("delta_e") and name.endswith(".parquet")
+            ]
             live = merge_partition(part_dir, self.schema, self.pk)
             _atomic_write_parquet(live, os.path.join(part_dir, "base.parquet"))
-            removed = 0
-            for name in sorted(os.listdir(part_dir)):
-                if name.startswith("delta_e") and name.endswith(".parquet"):
-                    os.unlink(os.path.join(part_dir, name))
-                    removed += 1
-            rows.append({"part_dir": part_dir, "rows": live.num_rows, "deltas_folded": removed})
+            for name in folded:
+                os.unlink(os.path.join(part_dir, name))
+            rows.append({"part_dir": part_dir, "rows": live.num_rows, "deltas_folded": len(folded)})
         return pa.table(
             {
                 "part_dir": pa.array([r["part_dir"] for r in rows]),

@@ -56,3 +56,29 @@ def test_metrics_stream_and_heartbeat_lag(ray_session, tmp_path):
     n_rows = len(m)
     CdcJob(cfg).run()
     assert len(MetricsLog(cfg.lake_dir).read()) == n_rows
+
+
+def test_poison_and_ddl_families_emitted(ray_session, tmp_path):
+    """POISON_ROWS / DDL_COUNT are real emitted families (the collector
+    surface exports them), not just declared names; DDL counts reflect the
+    fixture's replicated DDL applies."""
+    from canal_ray.config import CdcConfig
+    from canal_ray.loggen import generate_fixture
+    from canal_ray.metrics import DDL_COUNT, POISON_ROWS, MetricsLog
+    from canal_ray.pipeline import CdcJob
+
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=200, n_events=2_000, n_segments=2, seed=87)
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=2,
+        epoch_segments=1,
+    )
+    CdcJob(cfg).run()
+    df = MetricsLog(cfg.lake_dir).read()
+    fams = set(df["metric"])
+    assert POISON_ROWS in fams and DDL_COUNT in fams
+    # the default fixture has 3 DDLs replicated to every partition
+    ddl_total = df[df["metric"] == DDL_COUNT]["value"].sum()
+    assert ddl_total == 3 * cfg.num_partitions
+    assert df[df["metric"] == POISON_ROWS]["value"].sum() == 0  # clean stream
