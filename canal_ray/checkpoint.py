@@ -57,6 +57,11 @@ class CheckpointStore:
     def __init__(self, lake_dir: str):
         self.lake_dir = lake_dir
         self.ckpt_dir = os.path.join(lake_dir, "_checkpoints")
+        # epoch manifests are immutable once written; caching present ones
+        # keeps a tail poll's run() from re-reading O(acked history) JSON
+        # files (plan + cut computation + last_complete_epoch all consult
+        # them). Absence is NEVER cached — the manifest may appear later.
+        self._epoch_cache: dict[int, dict] = {}
 
     # -- partition checkpoints (sink-side position manager) ---------------
     def partition_path(self, partition_id: int, epoch: int) -> str:
@@ -74,9 +79,15 @@ class CheckpointStore:
 
     def write_epoch(self, epoch: int, obj: dict) -> None:
         atomic_write_json(self.epoch_path(epoch), obj)
+        self._epoch_cache[epoch] = obj
 
     def read_epoch(self, epoch: int) -> dict | None:
-        return read_json(self.epoch_path(epoch))
+        got = self._epoch_cache.get(epoch)
+        if got is None:
+            got = read_json(self.epoch_path(epoch))
+            if got is not None:
+                self._epoch_cache[epoch] = got
+        return got
 
     def last_complete_epoch(self) -> int:
         """Highest epoch e such that manifests 0..e all exist; -1 if none."""

@@ -116,6 +116,7 @@ def make_decoder(
     cfg: CdcConfig,
     precompact: bool = True,
     lsn_window: tuple[int, int] | None = None,
+    epoch_his: list[int] | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the per-batch decode function (a closure; compiled regexes are
     captured once — cheap enough for stateless tasks, no actor needed).
@@ -131,7 +132,15 @@ def make_decoder(
     overlap segment (rows below ``lo`` were applied by the previous cycle)
     and defer an incomplete tail txn (rows above ``hi`` belong to the next
     cycle — without the window, pre-compaction could let a deferred event
-    suppress an in-window event, corrupting the per-ack-point state)."""
+    suppress an in-window event, corrupting the per-ack-point state).
+
+    ``epoch_his`` (sorted upper lsn bounds of the cycle's epochs) scopes the
+    LWW pre-compaction WITHIN epochs: a cycle batches several ack points
+    through one pipeline, and a decode batch can straddle an epoch boundary —
+    letting a later-epoch event suppress an earlier-epoch one would leave
+    that epoch's delta missing the key, so a merge-as-of that ack point
+    (derived tables, point-in-time reads) would show stale state. The final
+    state is unaffected either way; the per-ack-point contract is not."""
     white = re.compile(cfg.table_filter, re.IGNORECASE) if cfg.table_filter else None
     black = (
         re.compile(cfg.table_black_filter, re.IGNORECASE)
@@ -153,7 +162,11 @@ def make_decoder(
     if cfg.filter_dml_delete:
         drop_ops.add("DELETE")
     if cfg.filter_ddl:
+        # TRUNCATE is a query/DDL-class event (EventType.TRUNCATE via
+        # parseQueryEvent) — filterQueryDdl suppresses it too; leaving it
+        # through would let the one destructive event class past the filter
         drop_ops.add("DDL")
+        drop_ops.add("TRUNCATE")
 
     def decode(batch: pa.Table) -> pa.Table:
         """Single-copy decode: every mask is computed on the narrow columns
@@ -175,8 +188,15 @@ def make_decoder(
         # dictionary-encode schema and table separately, then classify only
         # the distinct (schema, table) pairs (a handful) — no per-row string
         # lowering/joining on the hot path
-        d_s = pc.dictionary_encode(batch["schema_name"]).combine_chunks()
-        d_t = pc.dictionary_encode(batch["table_name"]).combine_chunks()
+        # null identities fill to "" BEFORE dictionary-encoding: a null
+        # dictionary index round-trips through numpy as NaN and the int cast
+        # would produce a garbage index into pair_keep (IndexError)
+        d_s = pc.dictionary_encode(
+            pc.fill_null(batch["schema_name"], "")
+        ).combine_chunks()
+        d_t = pc.dictionary_encode(
+            pc.fill_null(batch["table_name"], "")
+        ).combine_chunks()
         s_uniq = d_s.dictionary.to_pylist()
         t_uniq = d_t.dictionary.to_pylist()
         cs = d_s.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -184,7 +204,7 @@ def make_decoder(
         pair_keep = np.ones((len(s_uniq), max(1, len(t_uniq))), dtype=bool)
         for i, s in enumerate(s_uniq):
             for j, t in enumerate(t_uniq):
-                ident = f"{'' if s is None else s}.{'' if t is None else t}".lower()
+                ident = f"{s}.{t}".lower()
                 ok = True
                 if white is not None:
                     ok = white.fullmatch(ident) is not None
@@ -230,14 +250,25 @@ def make_decoder(
             pid[idx] = ids_from_words(h1, h2, num_partitions)
             if precompact and not cfg.partial_updates:
                 # LWW pre-compaction is only sound for full row images: a
-                # later patch does not supersede an earlier full image
+                # later patch does not supersede an earlier full image.
+                # Compaction never crosses an EPOCH boundary (see docstring).
                 lsn = batch["lsn"].to_numpy()[idx]
-                order = np.lexsort((lsn, h2, h1))
-                sh1, sh2 = h1[order], h2[order]
+                if epoch_his is not None:
+                    bucket = np.searchsorted(
+                        np.asarray(epoch_his, dtype=np.int64), lsn
+                    )
+                else:
+                    bucket = np.zeros(idx.size, dtype=np.int64)
+                order = np.lexsort((lsn, bucket, h2, h1))
+                sh1, sh2, sb = h1[order], h2[order], bucket[order]
                 last = np.empty(order.size, dtype=bool)
                 last[-1] = True
                 if order.size > 1:
-                    last[:-1] = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
+                    last[:-1] = (
+                        (sh1[1:] != sh1[:-1])
+                        | (sh2[1:] != sh2[:-1])
+                        | (sb[1:] != sb[:-1])
+                    )
                 dml_keep[idx[order[~last]]] = False
 
         out = []

@@ -72,7 +72,15 @@ def _contribution(
         elif actual is None:
             out[alias] = np.int64(0)
         elif kind == "sum":
-            out[alias] = pd.to_numeric(df[actual]).fillna(0).astype("int64").to_numpy()
+            num = pd.to_numeric(df[actual]).fillna(0)
+            if ((num % 1) != 0).any():
+                # derived aggregates are int64 counters by contract; a
+                # widened float column would silently floor — fail loudly
+                raise ValueError(
+                    f"sum over {col!r} requires integral values; the column "
+                    "carries fractional values (int64-counter contract)"
+                )
+            out[alias] = num.astype("int64").to_numpy()
         elif kind == "strlen":
             out[alias] = df[actual].str.len().fillna(0).astype("int64").to_numpy()
         else:
@@ -216,7 +224,9 @@ class DerivedTable:
                     raise ValueError(
                         f"derived group column {self.group_col!r} not in schema"
                     )
-                folded = self.recompute(job)
+                # bounded to the acked target: an unbounded recompute would
+                # fold applied-but-unacked deltas the next update re-adds
+                folded = self.recompute(job, up_to_epoch=now)
                 _atomic_write_parquet(
                     pa.Table.from_pandas(folded, preserve_index=False),
                     self._table_path(now),
@@ -247,13 +257,33 @@ class DerivedTable:
         return folded
 
     # ------------------------------------------------------------- oracle
-    def recompute(self, job) -> pd.DataFrame:
-        """Full recompute from the current lake state (the verification
-        oracle for the incremental path)."""
-        state = job.state_pandas()
+    def recompute(self, job, up_to_epoch: int | None = None) -> pd.DataFrame:
+        """Full recompute from the lake state (the verification oracle for
+        the incremental path).
+
+        ``up_to_epoch`` bounds the merge to acked epochs: the DDL-guard
+        fallback in update() MUST pass the cursor's target epoch — an
+        unbounded merge would fold deltas that are applied but not yet
+        acked, and those epochs would be double-counted by the next
+        incremental update once they ack."""
+        if up_to_epoch is None:
+            state = job.state_pandas()
+            schema = TableSchema.from_json(job.final_schema().to_json())
+        else:
+            schema = job._schema_at(up_to_epoch)
+            parts = []
+            for pdir in lake_partition_dirs(self.lake_dir):
+                t = merge_partition(
+                    pdir, schema, job.cfg.pk_columns, up_to_epoch=up_to_epoch
+                )
+                parts.append(t.drop_columns([META_LSN]).to_pandas())
+            state = (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(columns=schema.active_names())
+            )
         if state.empty:
             return self.read().iloc[0:0]
-        schema = TableSchema.from_json(job.final_schema().to_json())
         col_map = _resolve_cols(
             schema, [self.group_col] + [c for _, _, c in self.aggs if c is not None]
         )

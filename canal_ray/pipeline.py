@@ -88,6 +88,15 @@ def _first_txn(path: str) -> int:
     return int(t["txn_id"][0].as_py())
 
 
+def _last_txn(path: str) -> int:
+    """txn_id of a segment's final event (one tiny row-group column read)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    t = pf.read_row_group(pf.metadata.num_row_groups - 1, columns=["txn_id"])
+    return int(t["txn_id"][-1].as_py())
+
+
 def _txn_cut(segs: list[str], next_first_txn: int) -> int | None:
     """Last lsn in ``segs`` whose txn differs from the txn continuing into
     the next epoch — the EventTransactionBuffer flush point. None if every
@@ -222,7 +231,14 @@ class CdcJob:
         cannot be completed by a file replay (batch semantics at EOF, like
         ``LocalBinLogConnection`` replay-to-EOF).
         """
-        eps = [(e, segs) for e, segs in plan if e > 0 and segs]
+        # acked RESIDUAL epochs (held-txn flushes; empty segment lists) stay
+        # in the chain: their pinned lsn_hi advances the cut past the carry,
+        # otherwise every re-run would mint a fresh residual epoch forever
+        eps = [
+            (e, segs)
+            for e, segs in plan
+            if e > 0 and (segs or self.store.read_epoch(e) is not None)
+        ]
         cuts: dict[int, tuple[int, int]] = {}
         overlap: dict[int, list[str]] = {}
         prev_hi = 0
@@ -233,7 +249,7 @@ class CdcJob:
         carry: list[tuple[str, int]] = []  # (path, stats_max_lsn)
         for i, (e, segs) in enumerate(eps):
             manifest = self.store.read_epoch(e)
-            his = [self._seg_stats(s)[1] for s in segs]
+            his = [self._seg_stats(s)[1] for s in segs] or [0]
             if manifest is not None:
                 # acked: reuse the cut that run actually used (segment-aligned
                 # max for epochs acked before txn alignment was enabled)
@@ -241,6 +257,15 @@ class CdcJob:
             elif i + 1 < len(eps):
                 hi = _txn_cut(segs, _first_txn(eps[i + 1][1][0]))
                 if hi is None:  # whole epoch inside one spanning txn
+                    hi = prev_hi
+            elif self._hold_trailing:
+                # tail mode: the log's trailing txn may CONTINUE in segments
+                # arriving next poll — acking through EOF would split it at
+                # the poll boundary. Hold the trailing txn back; the carry
+                # mechanism delivers it once it completes (or a final batch
+                # run() flushes it at true end-of-stream).
+                hi = _txn_cut(segs, _last_txn(segs[-1]))
+                if hi is None:
                     hi = prev_hi
             else:
                 hi = max(his)
@@ -251,11 +276,22 @@ class CdcJob:
             carry = [
                 (p, mx) for p, mx in (carry + list(zip(segs, his))) if mx > hi
             ]
-        return cuts, overlap
+        # the residual carry (rows above the final cut — a held trailing
+        # txn) is returned so run() can flush it through a residual epoch
+        # when no pending epoch exists to receive it
+        return cuts, overlap, carry
 
     # ------------------------------------------------------------------- run
-    def run(self, max_epochs: int | None = None) -> dict:
+    def run(
+        self, max_epochs: int | None = None, hold_trailing_txn: bool = False
+    ) -> dict:
         """Consume all (or ``max_epochs``) un-acked epochs; resumable.
+
+        ``hold_trailing_txn`` (txn-aligned tail mode): the final epoch's ack
+        point stops BEFORE the log's trailing transaction, because in a live
+        tail that txn may continue in the next segment — EOF is a poll
+        artifact, not a txn boundary. Batch replays leave it False: a
+        finished log's EOF IS the end of the stream.
 
         Epochs are batched ``epochs_per_cycle`` at a time through one
         decode -> shuffle -> apply pipeline per cycle; the apply function
@@ -273,12 +309,30 @@ class CdcJob:
         if _timing:
             print(f"[phase] plan={_time.perf_counter() - _t0:.2f}s", flush=True)
         schema = self._schema_at(last)
-        self._cuts, self._overlap = (
-            self._compute_cuts(plan) if cfg.txn_aligned_epochs else ({}, {})
+        self._hold_trailing = bool(hold_trailing_txn) and cfg.txn_aligned_epochs
+        self._cuts, self._overlap, tail_carry = (
+            self._compute_cuts(plan) if cfg.txn_aligned_epochs else ({}, {}, [])
         )
         processed = 0
         total_events = 0
         pending = [(e, s) for e, s in plan if e > last]
+        if (
+            cfg.txn_aligned_epochs
+            and not self._hold_trailing
+            and not pending
+            and tail_carry
+        ):
+            # every file-backed epoch is acked but a held trailing txn
+            # remains inside their files (tail-mode hold-back): flush it
+            # through a RESIDUAL epoch that reads only the carry segments
+            # under its lsn window — batch semantics at true end-of-stream
+            e_new = max(e for e, _ in plan) + 1
+            lo = max(hi for _, hi in self._cuts.values()) + 1 if self._cuts else 1
+            gmax = max(mx for _, mx in tail_carry)
+            self._cuts[e_new] = (lo, gmax)
+            self._overlap[e_new] = [p for p, _ in tail_carry]
+            plan.append((e_new, []))
+            pending = [(e_new, [])]
         if max_epochs is not None:
             pending = pending[:max_epochs]
 
@@ -334,7 +388,9 @@ class CdcJob:
         while idle < max_idle_polls:
             if stop_file is not None and os.path.exists(stop_file):
                 break
-            r = self.run()
+            # hold the trailing txn open while tailing (it may continue in
+            # the next poll's segments — an ack must never split it)
+            r = self.run(hold_trailing_txn=True)
             totals["epochs_processed"] += r["epochs_processed"]
             totals["events"] += r["events"]
             totals["polls"] += 1
@@ -343,6 +399,11 @@ class CdcJob:
                 _time.sleep(poll_interval_s)
             else:
                 idle = 0
+        # end of tailing: flush the held trailing txn (batch semantics at
+        # the true end of the stream)
+        r = self.run()
+        totals["epochs_processed"] += r["epochs_processed"]
+        totals["events"] += r["events"]
         totals["last_epoch"] = self.store.last_complete_epoch()
         totals["schema"] = self.final_schema().to_json()
         return totals
@@ -374,14 +435,18 @@ class CdcJob:
                 )
                 epoch_ranges.append((0, 0, 0))
             else:
-                los, his, clocks = zip(*(self._seg_stats(s) for s in segs))
+                if segs:
+                    los, his, clocks = zip(*(self._seg_stats(s) for s in segs))
+                    epoch_clocks[epoch] = max(clocks)
+                else:  # residual epoch (held-txn flush): carry segments only
+                    los = his = (0,)
+                    epoch_clocks[epoch] = 0
                 if epoch in self._cuts:  # txn-aligned window, not segment span
                     epoch_ranges.append((epoch, *self._cuts[epoch]))
                 else:
                     epoch_ranges.append((epoch, min(los), max(his)))
-                epoch_clocks[epoch] = max(clocks)
         log_segs = [s for e, segs in cycle for s in segs if e > 0]
-        first_log_epoch = next((e for e, segs in cycle if e > 0 and segs), None)
+        first_log_epoch = next((e for e, _ in cycle if e > 0), None)
         if first_log_epoch is not None:
             # previous cycles deferred an incomplete txn tail into this
             # epoch: re-read every overlap segment still holding rows above
@@ -415,7 +480,13 @@ class CdcJob:
                 max(hi for _, _, hi in epoch_ranges),
             )
         ds = ds.map_batches(
-            make_decoder(cfg, lsn_window=window),
+            make_decoder(
+                cfg,
+                lsn_window=window,
+                # scope LWW pre-compaction within epochs: a later epoch's
+                # event must not suppress an earlier epoch's from its delta
+                epoch_his=sorted(hi for _, _, hi in epoch_ranges),
+            ),
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
         )

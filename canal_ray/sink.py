@@ -11,9 +11,10 @@ Design (merge-on-read lake, scales to 10^10 events):
 
   - One group per ``partition_id`` per epoch (the single shuffle). The apply
     function LWW-compacts the epoch's events for its partition and writes ONE
-    sorted delta file ``<lake>/p<P>/delta_e<E>.parquet`` (atomic tmp+rename),
-    then its checkpoint. It never rewrites existing data — an epoch's cost is
-    O(epoch), not O(lake).
+    delta file ``<lake>/p<P>/delta_e<E>.parquet`` (atomic tmp+rename; one row
+    per key with ``_lsn`` — physical row order is unspecified, consumers
+    order by ``_lsn``), then its checkpoint. It never rewrites existing
+    data — an epoch's cost is O(epoch), not O(lake).
   - DELETE becomes a tombstone row (``_deleted``); tombstones fold away at
     compaction. ``_lsn`` rides along for cross-epoch LWW.
   - Reading the final state / compacting merges base + deltas per partition:
@@ -667,12 +668,13 @@ def make_applier(
                 )
                 _atomic_write_parquet(pa.concat_tables(all_poison), qpath)
             poison = pa.concat_tables(all_poison) if all_poison else None
-            # one row per key, but materialize_images regroups rows by image
-            # WIDTH (DELETEs, pre/post-DDL images) — restore the documented
-            # lsn-ascending delta layout before writing
-            delta = typed.take(
-                pc.sort_indices(typed, sort_keys=[(META_LSN, "ascending")])
-            )
+            # one row per key; materialize_images groups rows by image WIDTH
+            # (DELETEs, pre/post-DDL images) so the file is NOT lsn-ordered —
+            # deliberate: re-sorting would copy the full payload once more
+            # per epoch, and every consumer (merge, fold, LWW) orders by the
+            # _lsn column anyway. The delta contract is "one row per key,
+            # _lsn present", not a physical sort order.
+            delta = typed
         if column_filter is not None:
             keep = [c for c in schema.names() if c in set(column_filter) | set(pk)]
             delta = delta.select(keep + [META_LSN, META_DELETED, META_MASK])

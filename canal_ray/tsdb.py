@@ -36,11 +36,17 @@ from canal_ray.config import CdcConfig
 from canal_ray.ddl import TableSchema
 
 
-def _segment_lsn_max(path: str) -> int:
-    """Max lsn of a segment from footer statistics (no data read)."""
-    md = pq.read_metadata(path)
-    idx = md.schema.to_arrow_schema().get_field_index("lsn")
-    return max(md.row_group(rg).column(idx).statistics.max for rg in range(md.num_row_groups))
+def _lsn_range(path: str, cache: dict[str, tuple[int, int]]) -> tuple[int, int]:
+    """(lsn_min, lsn_max) of a segment from footer statistics, memoized —
+    one footer read per segment per query instead of one per helper call."""
+    got = cache.get(path)
+    if got is None:
+        md = pq.read_metadata(path)
+        idx = md.schema.to_arrow_schema().get_field_index("lsn")
+        stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+        got = (min(s.min for s in stats), max(s.max for s in stats))
+        cache[path] = got
+    return got
 
 
 def ddl_history(
@@ -63,7 +69,8 @@ def ddl_history(
 
 
 def _manifest_snapshot(
-    store: CheckpointStore, segments: list[str], lsn: int
+    store: CheckpointStore, segments: list[str], lsn: int,
+    range_cache: dict[str, tuple[int, int]] | None = None,
 ) -> tuple[TableSchema | None, set[str]]:
     """Newest acked manifest usable as a snapshot for ``lsn``.
 
@@ -73,6 +80,7 @@ def _manifest_snapshot(
     manifest qualifies.
     """
     by_name = {os.path.basename(p): p for p in segments}
+    cache = range_cache if range_cache is not None else {}
     best: tuple[TableSchema | None, set[str]] = (None, set())
     covered: set[str] = set()
     e = 1
@@ -84,7 +92,7 @@ def _manifest_snapshot(
         if any(s not in by_name for s in segs):
             break  # log dir rotated under the lake; stop trusting manifests
         covered |= set(segs)
-        if segs and max(_segment_lsn_max(by_name[s]) for s in segs) > lsn:
+        if segs and max(_lsn_range(by_name[s], cache)[1] for s in segs) > lsn:
             break  # this epoch crosses the target position
         best = (TableSchema.from_json(m["schema"]), set(covered))
         e += 1
@@ -106,24 +114,21 @@ def schema_as_of(
     ]
     schema = TableSchema(cfg.initial_schema)
     skip: set[str] = set()
+    ranges: dict[str, tuple[int, int]] = {}  # one footer read per segment
     if use_checkpoints and os.path.isdir(cfg.lake_dir):
-        snap, covered = _manifest_snapshot(CheckpointStore(cfg.lake_dir), segments, lsn)
+        snap, covered = _manifest_snapshot(
+            CheckpointStore(cfg.lake_dir), segments, lsn, ranges
+        )
         if snap is not None:
             schema, skip = snap, covered
     tail = [
         p
         for p in segments
-        if os.path.basename(p) not in skip and _segment_lsn_min(p) <= lsn
+        if os.path.basename(p) not in skip and _lsn_range(p, ranges)[0] <= lsn
     ]
     for _, sql in ddl_history(tail, up_to_lsn=lsn):
         schema.apply(sql)
     return schema
-
-
-def _segment_lsn_min(path: str) -> int:
-    md = pq.read_metadata(path)
-    idx = md.schema.to_arrow_schema().get_field_index("lsn")
-    return min(md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups))
 
 
 def schema_timeline(cfg: CdcConfig) -> list[dict]:

@@ -163,3 +163,46 @@ def test_auto_compaction(ray_session, t1_fixture, tmp_path_factory):
         assert "base.parquet" in names and len(names) == 1
     oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
     assert state_digest(job.state_pandas()) == state_digest(oracle_df)
+
+
+def test_per_ack_point_state_with_multi_epoch_cycles(ray_session, tmp_path):
+    """A cycle batches several ack points through ONE pipeline; within-batch
+    LWW pre-compaction must never let a later epoch's event suppress an
+    earlier epoch's from its delta — merge-as-of each ack point must equal
+    the sequential oracle at that cut (derived tables and point-in-time
+    reads depend on it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from canal_ray.sink import merge_partition
+    from canal_ray.oracle import replay_oracle, state_digest
+    from canal_ray.loggen import generate_fixture
+    from canal_ray.config import CdcConfig
+    from canal_ray.pipeline import CdcJob
+
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=300, n_events=3_000, n_segments=4, seed=88,
+                     hot_frac=0.6)  # hot keys updated in EVERY epoch
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=2,
+        epoch_segments=1, epochs_per_cycle=4,  # all epochs in ONE cycle
+        decode_batch_size=1 << 20,  # one decode batch straddles all epochs
+    )
+    job = CdcJob(cfg)
+    job.run()
+    segs = sorted(glob.glob(f"{d}/binlog/*.parquet"))
+    for epoch in (1, 2, 3):
+        cut = int(pq.read_table(segs[epoch - 1], columns=["lsn"])["lsn"][-1].as_py())
+        schema = job._schema_at(epoch)
+        import pandas as pd
+
+        parts = []
+        for pdir in sorted(glob.glob(f"{cfg.lake_dir}/p*")):
+            t = merge_partition(pdir, schema, cfg.pk_columns, up_to_epoch=epoch)
+            parts.append(t.drop_columns(["_lsn"]).to_pandas())
+        got = pd.concat(parts, ignore_index=True).sort_values(
+            ["repo", "path"]).reset_index(drop=True)
+        want, _ = replay_oracle(d, list(cfg.initial_schema), up_to_lsn=cut)
+        assert state_digest(got) == state_digest(want), f"as-of epoch {epoch}"

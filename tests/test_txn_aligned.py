@@ -231,3 +231,34 @@ def test_multi_segment_spanning_txn_carry(ray_session, tmp_path):
         if hi == 0:
             continue  # degenerate empty window (epoch inside one txn)
         assert txn.loc[hi] != txn.loc[hi + 1]
+
+
+def test_tail_hold_back_never_splits_inflight_txn(ray_session, fix, tmp_path):
+    """Live tail: each poll's EOF is a poll artifact, not a txn boundary —
+    run(hold_trailing_txn=True) must stop every ack BEFORE the trailing txn,
+    and the final batch flush delivers the held tail exactly once."""
+    live = str(tmp_path / "live")
+    os.makedirs(f"{live}/binlog")
+    shutil.copytree(f"{fix}/base", f"{live}/base")
+    segs = sorted(glob.glob(f"{fix}/binlog/*.parquet"))
+    cfg = _cfg(live, str(tmp_path / "lake"))
+    job = CdcJob(cfg)
+    txn = _txn_of(fix)
+
+    for s in segs:  # one segment arrives per poll
+        shutil.copy(s, f"{live}/binlog/")
+        job.run(hold_trailing_txn=True)
+        # EVERY ack so far (incl. the tail epoch) sits on a txn boundary
+        e = 1
+        while (m := job.store.read_epoch(e)) is not None:
+            hi = m["lsn_hi"]
+            if hi > 0 and hi + 1 in txn.index:
+                assert txn.loc[hi] != txn.loc[hi + 1], f"epoch {e} split a txn"
+            e += 1
+
+    # end of stream: flush the held trailing txn (batch semantics at EOF)
+    job.run()
+    oracle_df, _ = replay_oracle(fix, list(cfg.initial_schema))
+    assert state_digest(job.state_pandas()) == state_digest(oracle_df)
+    # re-run is fully fenced
+    assert CdcJob(cfg).run()["epochs_processed"] == 0
