@@ -124,10 +124,26 @@ class CdcConnector:
         if not pending:
             return None
         paths = [p for _, s in pending for p in s]
+
+        def _dedup_meta(batch):
+            # decode replicates DDL/TRUNCATE once per SINK partition (each
+            # applier owns a shard); a protocol CLIENT must see each exactly
+            # once (Canal delivers one DDL entry) — keep partition 0's copy
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+
+            keep = pc.or_(
+                pc.invert(
+                    pc.is_in(batch["op"], value_set=_pa.array(["DDL", "TRUNCATE"]))
+                ),
+                pc.equal(batch["partition_id"], 0),
+            )
+            return batch.filter(keep)
+
         ds = ray.data.read_parquet(paths).map_batches(
             self._decoder, batch_format="pyarrow",
             batch_size=self.cfg.decode_batch_size,
-        )
+        ).map_batches(_dedup_meta, batch_format="pyarrow")
         pieces = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
         if pieces:
             table = pa.concat_tables(pieces)

@@ -61,7 +61,7 @@ def to_flat_messages(batch: pa.Table) -> pa.Table:
             "database": batch["schema_name"],
             "table": batch["table_name"],
             "pkNames": pk_names,
-            "isDdl": pa.array(ops == "DDL"),
+            "isDdl": pa.array((ops == "DDL") | (ops == "TRUNCATE")),  # query-event classes
             "type": batch["op"],
             "es": es,
             "ts": es,
@@ -74,7 +74,11 @@ def to_flat_messages(batch: pa.Table) -> pa.Table:
 
 
 def flat_message_dataset(log_ds):
-    """Decoded log Dataset -> FlatMessage Dataset."""
+    """RAW-log-format Dataset -> FlatMessage Dataset.
+
+    Input must carry the raw wire columns (cols/schema_name/table_name/
+    execute_time, per loggen.LOG_SCHEMA) — the engine's post-decode format
+    (decode.DECODED_SCHEMA) drops them and is NOT accepted here."""
     return log_ds.map_batches(to_flat_messages, batch_format="pyarrow")
 
 
@@ -92,6 +96,8 @@ def produce_flat_json(log_dir: str, out_dir: str) -> int:
     ds = ray.data.read_parquet(
         [f"{log_dir}/{n}" for n in sorted(__import__("os").listdir(log_dir)) if n.endswith(".parquet")]
     )
-    flat = flat_message_dataset(ds)
-    flat.write_json(out_dir)
-    return flat.count()
+    # count from parquet metadata BEFORE the 1:1 conversion: counting the
+    # converted dataset would re-run the whole read+encode DAG a second time
+    n = ds.count()
+    flat_message_dataset(ds).write_json(out_dir)
+    return n

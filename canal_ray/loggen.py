@@ -184,6 +184,12 @@ def generate_fixture(
             old = json.load(f)
         if old.get("params") == params:
             return old
+    # regenerating with DIFFERENT params: stale segments from a previous
+    # (e.g. larger n_segments) generation would survive the rewrite and be
+    # picked up by sorted-listdir readers — wipe the binlog dir first
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(out_dir, "binlog"), ignore_errors=True)
 
     rng = np.random.default_rng(seed)
     pool_strings = _content_pool(rng, content_scale)
@@ -332,6 +338,12 @@ def generate_fixture(
         ops[noise] = "INSERT"
         # heartbeat liveness events (EventType.MHEARTBEAT analog) — no table,
         # no payload; consumers must skip them while their lsns advance
+        # NOTE: heartbeat conversion happens AFTER insert accounting, so an
+        # insert-selected lsn that becomes a heartbeat still consumed a key
+        # index (n_inserted counts it; later updates may target the phantom
+        # key). Benign by the upsert contract — engine and oracle both treat
+        # a full-image UPDATE of an absent key as an insert — and kept as-is
+        # because reordering would change every cached fixture's bytes.
         hb = (lsns % 997 == 0) & ~ddl_mask & ~noise & ~tr_mask
         ops[hb] = "MHEARTBEAT"
 

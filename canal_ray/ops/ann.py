@@ -34,6 +34,26 @@ def _load_queries(sf_dir: str, n_queries: int):
     return q["vec_id"].to_numpy(), _matrix(q["embedding"])
 
 
+
+def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Grouped top-k reduce shared by every ANN variant (deterministic
+    tie-break on vec_id)."""
+    g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "vec_id", "rank"]]
+
+
+def _empty_partials() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "vec_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 class BruteForceScorer:
     """Actor-pool stage: per-batch cosine scores + per-query partial top-k.
 
@@ -70,13 +90,9 @@ def ann_cosine_topk(sf_dir: str, k: int = 10, n_queries: int = 8) -> pd.DataFram
         concurrency=2,
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
-
-    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    out = partials.groupby("query_id").map_groups(
+        lambda g, _k=k: _final_topk(g, _k), batch_format="pandas"
+    )
     df = out.to_pandas()
     return df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
@@ -124,7 +140,9 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 8, probes: int = 2) 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        _qids, _Q, _planes, _allowed = ray.get(ref)
+        from canal_ray.ops.util import cached_get
+
+        _qids, _Q, _planes, _allowed = cached_get(ref)
         M = _matrix(batch["embedding"])
         ids = batch["vec_id"].to_numpy()
         sig = _signatures(M, _planes)
@@ -138,24 +156,14 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 8, probes: int = 2) 
                 pd.DataFrame({"query_id": qid, "vec_id": ids[mask], "score": S})
             )
         if not frames:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "vec_id": pd.Series([], dtype="int64"),
-                    "score": pd.Series([], dtype="float64"),
-                }
-            )
+            return _empty_partials()
         return pd.concat(frames, ignore_index=True)
 
     partials = ds.map_batches(per_batch, batch_format="pandas")
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
-
-    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    out = partials.groupby("query_id").map_groups(
+        lambda g, _k=k: _final_topk(g, _k), batch_format="pandas"
+    )
     df = out.to_pandas()
     return df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
@@ -204,7 +212,9 @@ def ann_ivf_topk(
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        _qids, _Q, _C, _probe = ray.get(ref)
+        from canal_ray.ops.util import cached_get
+
+        _qids, _Q, _C, _probe = cached_get(ref)
         M = _matrix(batch["embedding"])
         ids = batch["vec_id"].to_numpy()
         assign = np.argmax(M @ _C.T, axis=1)
@@ -216,22 +226,14 @@ def ann_ivf_topk(
             S = _Q[qi] @ M[mask].T
             frames.append(pd.DataFrame({"query_id": qid, "vec_id": ids[mask], "score": S}))
         if not frames:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "vec_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
+            return _empty_partials()
         return pd.concat(frames, ignore_index=True)
 
     partials = ds.map_batches(per_batch, batch_format="pandas")
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
-
-    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    out = partials.groupby("query_id").map_groups(
+        lambda g, _k=k: _final_topk(g, _k), batch_format="pandas"
+    )
     return out.to_pandas().astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
 
@@ -270,7 +272,9 @@ def ann_ivf_build(
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         M = _matrix(batch["embedding"])
-        b = np.argmax(M @ ray.get(cref).T, axis=1).astype(np.int32)
+        from canal_ray.ops.util import cached_get
+
+        b = np.argmax(M @ cached_get(cref).T, axis=1).astype(np.int32)
         # bucket rides BOTH as the hive partition key (directory pruning)
         # and as a data column (partition-col values are path-encoded and
         # dropped from the files themselves)
@@ -340,7 +344,9 @@ def ann_ivf_indexed_topk(
     ref = ray.put((qids, Q, probe))
 
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        _qids, _Q, _probe = ray.get(ref)
+        from canal_ray.ops.util import cached_get
+
+        _qids, _Q, _probe = cached_get(ref)
         M = _matrix(batch["embedding"])
         ids = batch["vec_id"].to_numpy()
         buckets = batch["bucket_id"].to_numpy()
@@ -352,23 +358,15 @@ def ann_ivf_indexed_topk(
             S = _Q[qi] @ M[mask].T
             frames.append(pd.DataFrame({"query_id": qid, "vec_id": ids[mask], "score": S}))
         if not frames:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "vec_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
+            return _empty_partials()
         return pd.concat(frames, ignore_index=True)
 
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "bucket_id"])
     partials = ds.map_batches(per_batch, batch_format="pandas")
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
-
-    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    out = partials.groupby("query_id").map_groups(
+        lambda g, _k=k: _final_topk(g, _k), batch_format="pandas"
+    )
     return out.to_pandas().astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
 

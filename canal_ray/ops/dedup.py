@@ -443,7 +443,6 @@ def embedding_neardup_pairs(
     """
     import shutil
     import tempfile
-    import uuid
 
     import pyarrow.parquet as pq
 
@@ -453,6 +452,9 @@ def embedding_neardup_pairs(
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
         def scatter(b: pd.DataFrame) -> pd.DataFrame:
+            import hashlib as _hl
+            import tempfile as _tf
+
             ids = b["vec_id"].to_numpy()
             M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
@@ -462,7 +464,15 @@ def embedding_neardup_pairs(
                 m = blocks == blk
                 d = os.path.join(work, f"b{blk:03d}")
                 os.makedirs(d, exist_ok=True)
-                path = os.path.join(d, f"frag_{uuid.uuid4().hex}.parquet")
+                # fragment name is a pure function of its content ids and the
+                # write is tmp+rename: a Ray task RETRY overwrites the same
+                # file instead of adding a duplicate set of vectors (a
+                # uuid-named side-effecting write is not retry-idempotent)
+                frag_id = _hl.sha256(np.sort(ids[m]).tobytes()).hexdigest()[:16]
+                path = os.path.join(d, f"frag_{frag_id}.parquet")
+                # NOT a .parquet suffix: load_block dataset-discovers the dir
+                fd, tmp = _tf.mkstemp(dir=d, prefix=".inflight_", suffix=".tmp")
+                os.close(fd)
                 pq.write_table(
                     pa.table(
                         {
@@ -470,8 +480,9 @@ def embedding_neardup_pairs(
                             "emb": pa.array(M[m].tolist(), type=pa.list_(pa.float64())),
                         }
                     ),
-                    path,
+                    tmp,
                 )
+                os.replace(tmp, path)
                 written.append(int(blk))
             return pd.DataFrame({"block": written})
 

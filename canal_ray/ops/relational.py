@@ -242,7 +242,9 @@ def building_segment_order_revenue(sf_dir: str, threshold: float = 100_000.0) ->
     )
 
     def building_orders(t: pa.Table) -> pa.Table:
-        keep = pd.Series(t["o_custkey"].to_numpy()).isin(ray.get(bkeys_ref))
+        from canal_ray.ops.util import cached_get
+
+        keep = pd.Series(t["o_custkey"].to_numpy()).isin(cached_get(bkeys_ref))
         return t.filter(pa.array(keep.to_numpy())).select(["o_orderkey", "o_orderdate"])
 
     orders_f = orders.map_batches(building_orders, batch_format="pyarrow")
@@ -328,7 +330,9 @@ def supplier_balance_by_region(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
 
     def tag(t: pa.Table) -> pa.Table:
-        mapping = ray.get(ref)
+        from canal_ray.ops.util import cached_get
+
+        mapping = cached_get(ref)
         df = pd.DataFrame(
             {
                 "r_name": pd.Series(t["s_nationkey"].to_numpy()).map(mapping),

@@ -26,7 +26,11 @@ class TokenStats:
         self.stop = frozenset(STOPWORDS)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.strip().str.split()
+        # empty/whitespace-only docs tokenize to [''] exactly like the DuckDB
+        # oracle's regexp_split_to_array(trim(text), '\s+') — n_tokens=1,
+        # ratios 0.0 (a bare [] would divide by zero into NaN and break
+        # parity); simhash/fingerprints defend the same case
+        toks = batch["text"].str.strip().str.split().map(lambda ws: ws if ws else [""])
         n_tokens = toks.str.len().astype("int64")
         tok_chars = toks.map(lambda ws: sum(len(w) for w in ws))
         n_stop = toks.map(lambda ws: sum(w in self.stop for w in ws))

@@ -31,3 +31,22 @@ def round_columns(df: pd.DataFrame, decimals: dict[str, int]) -> pd.DataFrame:
         if c in df.columns:
             df[c] = np.round(df[c].astype("float64"), d)
     return df
+
+
+# per-WORKER-PROCESS broadcast cache: ray.get of a non-zero-copy object
+# (python set/dict) DESERIALIZES it on every call — a map_batches task
+# calling ray.get(ref) per batch pays that once per batch. Worker processes
+# are reused across tasks, so caching by object-ref hex gives the same
+# fetch-once behavior as an actor __init__ for plain-task stages.
+_BCAST_CACHE: dict = {}
+
+
+def cached_get(ref):
+    key = ref.hex()
+    got = _BCAST_CACHE.get(key)
+    if got is None:
+        import ray
+
+        got = ray.get(ref)
+        _BCAST_CACHE[key] = got
+    return got

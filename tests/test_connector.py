@@ -3,6 +3,7 @@ crash-mid-batch redelivery (CanalServerWithEmbedded.java:350-464 analog)."""
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.compute as pc
 
 from canal_ray.config import CdcConfig
@@ -69,18 +70,25 @@ def test_get_ack_rollback_and_crash_resume(ray_session, tmp_path):
         n_batches += 1
     assert n_batches == 1  # 6 segments / 2 per epoch = 3 epochs, 2 consumed
     assert c2.acked_epoch() == 3
-    # drained total equals a full one-shot decode of the whole log
+    # drained total equals a full one-shot decode of the whole log, with
+    # DDL/TRUNCATE counted ONCE (decode replicates them per sink partition;
+    # the client protocol de-duplicates to exactly-once delivery)
     import ray.data
     from canal_ray.decode import make_decoder
 
-    full = (
+    full_tbl = pa.concat_tables(
         ray.data.read_parquet(
             [f"{d}/binlog/segment_{i:05d}.parquet" for i in range(6)]
         )
         .map_batches(make_decoder(cfg, precompact=False), batch_format="pyarrow")
-        .count()
+        .iter_batches(batch_format="pyarrow", batch_size=None)
     )
-    assert total == full
+    is_meta = pc.is_in(full_tbl["op"], value_set=pa.array(["DDL", "TRUNCATE"]))
+    n_dml = full_tbl.filter(pc.invert(is_meta)).num_rows
+    n_meta_once = full_tbl.filter(
+        pc.and_(is_meta, pc.equal(full_tbl["partition_id"], 0))
+    ).num_rows
+    assert total == n_dml + n_meta_once
 
 
 def test_connector_row_filter_delivery(ray_session, tmp_path):
