@@ -25,7 +25,33 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
+
+_NAT_SPLIT = re.compile(r"(\d+)")
+
+
+def natural_key(name: str) -> tuple:
+    """Sort key treating digit runs numerically: 'segment_100000' sorts
+    after 'segment_99999' even when the zero-padded field widens (the same
+    fix partition_checkpoints applies to epoch numbers — segment files are
+    epoch_segments× more numerous, so they widen first)."""
+    return tuple(
+        int(p) if p.isdigit() else p
+        for p in _NAT_SPLIT.split(os.path.basename(name))
+    )
+
+
+def list_numbered(d: str, suffix: str = ".parquet") -> list[str]:
+    """Numerically-ordered listing of numbered files in one directory."""
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return []
+    return [
+        os.path.join(d, n)
+        for n in sorted((n for n in names if n.endswith(suffix)), key=natural_key)
+    ]
 
 
 def atomic_write_json(path: str, obj: dict) -> None:

@@ -38,11 +38,18 @@ from canal_ray.decode import make_decoder
 
 
 class CdcConnector:
-    """One client's cursor over one binlog directory."""
+    """One client's cursor over one binlog directory.
 
-    def __init__(self, cfg: CdcConfig, client_id: str = "default"):
+    ``window`` allows up to k outstanding (delivered, un-acked) batches with
+    strictly in-order ack — the reference's per-client in-flight batch map
+    (``CanalServerWithEmbedded.java:350-464`` keeps a ``batches`` map and
+    acks advance the cursor batch-by-batch). Out-of-order ack raises.
+    """
+
+    def __init__(self, cfg: CdcConfig, client_id: str = "default", window: int = 1):
         self.cfg = cfg
         self.client_id = client_id
+        self.window = max(1, int(window))
         self._cursor_path = os.path.join(
             cfg.lake_dir, "_clients", f"{client_id}.json"
         )
@@ -50,8 +57,12 @@ class CdcConnector:
         # delivers the full change stream; the combiner is a sink-side
         # optimization whose effect depends on batch boundaries)
         self._decoder = make_decoder(cfg, precompact=False)
-        # (batch_id, delivered [(epoch, segment_paths)]) — pinned at ack
-        self._outstanding: tuple[int, list] | None = None
+        # FIFO of in-flight batches: (batch_id, [(epoch, segment_paths)],
+        # consumed-file watermark BEFORE this batch — pinned at get time so
+        # ack never re-derives it from a listing that may have grown (a
+        # fresh listing could over-advance past never-delivered files in the
+        # legacy-cursor migration path)
+        self._outstanding: list[tuple[int, list, int]] = []
         self._next_batch_id = 1
 
     # ------------------------------------------------------------ protocol
@@ -91,36 +102,42 @@ class CdcConnector:
         k = max(1, self.cfg.epoch_segments)
         return min((a - 1) * k + 1, n_present)
 
-    def _epochs(self) -> list[tuple[int, list[str]]]:
-        """Epoch plan, stable under tailing (CdcJob.plan contract): acked
-        consumption is pinned by the watermark — segments appended later
-        always chunk into NEW epochs, never into an already-acked one (naive
-        re-chunking would make the cursor silently skip them)."""
-        d = self.cfg.log_dir
-        segs = [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+    def _epochs(self) -> tuple[list[tuple[int, list[str]]], int]:
+        """Un-delivered epoch plan, stable under tailing (CdcJob.plan
+        contract): acked consumption is pinned by the durable watermark and
+        in-flight consumption by the outstanding queue — segments appended
+        later always chunk into NEW epochs, never into an already-delivered
+        one (naive re-chunking would make the cursor silently skip them)."""
+        from canal_ray.checkpoint import list_numbered
+
+        segs = list_numbered(self.cfg.log_dir)
         obj = read_json(self._cursor_path) or {}
-        a = int(obj.get("acked_epoch", -1))
-        n_done = self._consumed_files(obj, len(segs))
+        if self._outstanding:
+            _, last_pending, last_base = self._outstanding[-1]
+            n_done = last_base + sum(len(s) for _, s in last_pending)
+            e0 = last_pending[-1][0]
+        else:
+            n_done = self._consumed_files(obj, len(segs))
+            e0 = max(int(obj.get("acked_epoch", -1)), 0)
         new = segs[n_done:]
         k = max(1, self.cfg.epoch_segments)
-        e0 = max(a, 0)
-        return [(e0 + i // k + 1, new[i : i + k]) for i in range(0, len(new), k)]
+        return [(e0 + i // k + 1, new[i : i + k]) for i in range(0, len(new), k)], n_done
 
     def get_without_ack(self, epochs: int = 1) -> tuple[int, pa.Table] | None:
         """Next un-acked batch as (batch_id, decoded events table); None when
         the log is drained. Re-delivers the same epochs after a rollback or a
         crash without ack — the getWithoutAck redelivery contract.
 
-        A second get before ack/rollback raises (one outstanding batch per
-        client — the reference's batch window is likewise bounded; ours is 1).
+        Up to ``window`` batches may be outstanding; one more get raises.
         """
-        if self._outstanding is not None:
+        if len(self._outstanding) >= self.window:
             raise RuntimeError(
-                f"batch {self._outstanding[0]} outstanding; ack or rollback first"
+                f"{len(self._outstanding)} batches outstanding (window="
+                f"{self.window}); ack or rollback first"
             )
         self.subscribe()
-        cursor = self.acked_epoch()
-        pending = [(e, s) for e, s in self._epochs() if e > cursor][:epochs]
+        plan, n_done = self._epochs()
+        pending = plan[:epochs]
         if not pending:
             return None
         paths = [p for _, s in pending for p in s]
@@ -153,35 +170,45 @@ class CdcConnector:
             table = DECODED_SCHEMA.empty_table()
         batch_id = self._next_batch_id
         self._next_batch_id += 1
-        self._outstanding = (batch_id, pending)
+        self._outstanding.append((batch_id, pending, n_done))
         return batch_id, table
 
     def ack(self, batch_id: int) -> None:
-        """Advance the durable cursor past the outstanding batch: the epoch
-        number plus the consumed-file watermark (immutable history, O(1))."""
-        if self._outstanding is None or self._outstanding[0] != batch_id:
+        """Advance the durable cursor past the OLDEST outstanding batch:
+        the epoch number plus the consumed-file watermark pinned at get time
+        (immutable history, O(1)). Acks must be in-order — acking a younger
+        batch while an older one is in flight raises (the reference's batch
+        map enforces the same cursor monotonicity)."""
+        if not self._outstanding:
             raise ValueError(f"no outstanding batch {batch_id}")
-        _, pending = self._outstanding
-        obj = read_json(self._cursor_path) or {"acked_epoch": -1}
-        d = self.cfg.log_dir
-        n_present = sum(1 for n in os.listdir(d) if n.endswith(".parquet"))
-        n_done = self._consumed_files(obj, n_present)
+        head_id, pending, base = self._outstanding[0]
+        if head_id != batch_id:
+            known = [b for b, _, _ in self._outstanding]
+            if batch_id in known:
+                raise ValueError(
+                    f"out-of-order ack: batch {batch_id} acked while "
+                    f"batch {head_id} is still outstanding"
+                )
+            raise ValueError(f"no outstanding batch {batch_id}")
         atomic_write_json(
             self._cursor_path,
             {
                 "acked_epoch": pending[-1][0],
-                "consumed_files": n_done + sum(len(s) for _, s in pending),
+                "consumed_files": base + sum(len(s) for _, s in pending),
             },
         )
-        self._outstanding = None
+        self._outstanding.pop(0)
 
     def rollback(self, batch_id: int | None = None) -> None:
-        """Forget the outstanding batch; the next get re-delivers it."""
-        if batch_id is not None and (
-            self._outstanding is None or self._outstanding[0] != batch_id
-        ):
+        """Reset the get cursor to the ack cursor: ALL outstanding batches
+        are forgotten and the next gets re-deliver them (the reference's
+        rollback() semantics — ``MemoryEventStoreWithBuffer.java:521-530``
+        resets the get sequence wholesale, not per batch)."""
+        if batch_id is not None and batch_id not in [
+            b for b, _, _ in self._outstanding
+        ]:
             raise ValueError(f"no outstanding batch {batch_id}")
-        self._outstanding = None
+        self._outstanding = []
 
     # ------------------------------------------------------------ helpers
     def drain(self) -> Iterator[tuple[int, pa.Table]]:

@@ -64,7 +64,9 @@ def _contribution(
     derived table's surface is stable across source renames.
     """
     gcol = col_map[group_col]
-    out = pd.DataFrame({group_col: df[gcol].fillna("∅")})
+    # NULL group values stay NA end-to-end (pandas native NaN grouping);
+    # an in-band sentinel string would conflate genuine values with NULL
+    out = pd.DataFrame({group_col: df[gcol]})
     for alias, kind, col in aggs:
         actual = col_map.get(col) if col else None
         if kind == "count":
@@ -85,7 +87,7 @@ def _contribution(
             out[alias] = df[actual].str.len().fillna(0).astype("int64").to_numpy()
         else:
             raise ValueError(f"unknown agg kind {kind}")
-    return out.groupby(group_col, as_index=False).sum()
+    return out.groupby(group_col, as_index=False, dropna=False).sum()
 
 
 def _resolve_cols(schema: TableSchema, names: list[str]) -> dict[str, str | None]:
@@ -245,7 +247,9 @@ class DerivedTable:
         if allparts.empty:
             folded = base
         else:
-            folded = allparts.groupby(self.group_col, as_index=False)[agg_names].sum()
+            folded = allparts.groupby(
+                self.group_col, as_index=False, dropna=False
+            )[agg_names].sum()
             folded = folded[folded[agg_names].abs().sum(axis=1) > 0]
             folded = folded.sort_values(self.group_col).reset_index(drop=True)
             folded[agg_names] = folded[agg_names].astype("int64")

@@ -93,9 +93,9 @@ def produce_flat_json(log_dir: str, out_dir: str) -> int:
     """
     import ray.data
 
-    ds = ray.data.read_parquet(
-        [f"{log_dir}/{n}" for n in sorted(__import__("os").listdir(log_dir)) if n.endswith(".parquet")]
-    )
+    from canal_ray.checkpoint import list_numbered
+
+    ds = ray.data.read_parquet(list_numbered(log_dir))
     # count from parquet metadata BEFORE the 1:1 conversion: counting the
     # converted dataset would re-run the whole read+encode DAG a second time
     n = ds.count()

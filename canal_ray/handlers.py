@@ -63,3 +63,57 @@ def want_retry(handlers: tuple, exc: Exception, attempt: int) -> bool:
 def fire_after(handlers: tuple, epoch: int, manifest: dict) -> None:
     for h in handlers:
         h.after(epoch, manifest)
+
+
+# ---------------------------------------------------------------- durability
+# after() is an at-least-once post-commit hook. The epoch ack (write_epoch)
+# is durable BEFORE the hook fires, so without extra state a crash — or a
+# later handler raising — between the ack and the hook would silently drop
+# it (at-most-once). A single after-cursor file next to the manifests closes
+# the gap: acks are strictly in-order, so one integer ("fired through epoch
+# e") is the full state, and run() replays any acked-but-unfired epochs.
+
+_AFTER_CURSOR = "after_cursor.json"
+
+
+def _cursor_path(store) -> str:
+    import os
+
+    return os.path.join(store.ckpt_dir, _AFTER_CURSOR)
+
+
+def fire_after_durable(store, handlers: tuple, epoch: int, manifest: dict) -> None:
+    """Fire after() then durably advance the after-cursor. A crash or a
+    handler exception before the cursor write leaves it behind, and
+    ``replay_unfired`` re-fires on the next run() — at-least-once."""
+    from canal_ray.checkpoint import atomic_write_json, read_json
+
+    fire_after(handlers, epoch, manifest)
+    path = _cursor_path(store)
+    fired = int((read_json(path) or {}).get("fired_through", -1))
+    if epoch > fired:
+        atomic_write_json(path, {"fired_through": epoch})
+
+
+def replay_unfired(store, handlers: tuple) -> int:
+    """Re-fire after() for acked epochs whose hook never completed; returns
+    how many were replayed. On a lake with no after-cursor yet (first
+    handler-bearing run), epochs acked by earlier handler-less runs are
+    out of scope: the cursor initializes to the current ack point."""
+    from canal_ray.checkpoint import atomic_write_json, read_json
+
+    if not handlers:
+        return 0
+    path = _cursor_path(store)
+    cur = read_json(path)
+    last = store.last_complete_epoch()
+    if cur is None:
+        atomic_write_json(path, {"fired_through": last})
+        return 0
+    n = 0
+    for e in range(int(cur["fired_through"]) + 1, last + 1):
+        m = store.read_epoch(e)
+        if m is not None:
+            fire_after_durable(store, handlers, e, m)
+            n += 1
+    return n

@@ -545,5 +545,6 @@ def generate_fixture(
 
 
 def segment_paths(fixture_dir: str) -> list[str]:
-    d = os.path.join(fixture_dir, "binlog")
-    return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+    from canal_ray.checkpoint import list_numbered
+
+    return list_numbered(os.path.join(fixture_dir, "binlog"))

@@ -37,11 +37,19 @@ def round_columns(df: pd.DataFrame, decimals: dict[str, int]) -> pd.DataFrame:
 # (python set/dict) DESERIALIZES it on every call — a map_batches task
 # calling ray.get(ref) per batch pays that once per batch. Worker processes
 # are reused across tasks, so caching by object-ref hex gives the same
-# fetch-once behavior as an actor __init__ for plain-task stages.
-_BCAST_CACHE: dict = {}
+# fetch-once behavior as an actor __init__ for plain-task stages. Bounded
+# LRU (workers live across query invocations; each invocation ray.puts a
+# fresh ref, so an unbounded cache pins every past broadcast forever).
+_BCAST_CACHE: "OrderedDict" = None  # type: ignore[assignment]
+_BCAST_CACHE_MAX = 4
 
 
 def cached_get(ref):
+    global _BCAST_CACHE
+    if _BCAST_CACHE is None:
+        from collections import OrderedDict
+
+        _BCAST_CACHE = OrderedDict()
     key = ref.hex()
     got = _BCAST_CACHE.get(key)
     if got is None:
@@ -49,4 +57,8 @@ def cached_get(ref):
 
         got = ray.get(ref)
         _BCAST_CACHE[key] = got
+        while len(_BCAST_CACHE) > _BCAST_CACHE_MAX:
+            _BCAST_CACHE.popitem(last=False)
+    else:
+        _BCAST_CACHE.move_to_end(key)
     return got

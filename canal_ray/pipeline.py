@@ -185,8 +185,9 @@ class CdcJob:
 
     # ------------------------------------------------------------------ plan
     def segment_files(self) -> list[str]:
-        d = self.cfg.log_dir
-        return [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+        from canal_ray.checkpoint import list_numbered
+
+        return list_numbered(self.cfg.log_dir)
 
     def plan(self) -> list[tuple[int, list[str]]]:
         """[(epoch, segment_paths)]; epoch 0 = bootstrap (empty path list).
@@ -304,6 +305,12 @@ class CdcJob:
         _timing = os.environ.get("CANAL_PHASE_TIMING")
         _t0 = _time.perf_counter()
         cfg = self.cfg
+        if cfg.handlers:
+            # re-fire after() hooks lost to a crash between an epoch's ack
+            # and its hook (at-least-once contract; see handlers.py)
+            from canal_ray.handlers import replay_unfired
+
+            replay_unfired(self.store, cfg.handlers)
         plan = self.plan()
         last = self.store.last_complete_epoch()
         if _timing:
@@ -466,9 +473,9 @@ class CdcJob:
                 manifest = self._manifest(epoch, segs, schema, 0, epoch_clocks.get(epoch, 0))
                 self.store.write_epoch(epoch, manifest)
                 if cfg.handlers:
-                    from canal_ray.handlers import fire_after
+                    from canal_ray.handlers import fire_after_durable
 
-                    fire_after(cfg.handlers, epoch, manifest)
+                    fire_after_durable(self.store, cfg.handlers, epoch, manifest)
             return schema, 0
         ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
         window = None
@@ -558,9 +565,9 @@ class CdcJob:
             )
             self.store.write_epoch(epoch, manifest)
             if cfg.handlers:
-                from canal_ray.handlers import fire_after
+                from canal_ray.handlers import fire_after_durable
 
-                fire_after(cfg.handlers, epoch, manifest)
+                fire_after_durable(self.store, cfg.handlers, epoch, manifest)
         if cfg.exchange == "scatter":
             import shutil
 

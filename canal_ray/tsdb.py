@@ -31,7 +31,7 @@ import os
 import pyarrow.dataset as pa_ds
 import pyarrow.parquet as pq
 
-from canal_ray.checkpoint import CheckpointStore
+from canal_ray.checkpoint import CheckpointStore, list_numbered
 from canal_ray.config import CdcConfig
 from canal_ray.ddl import TableSchema
 
@@ -108,10 +108,7 @@ def schema_as_of(
     consumer with no lake state takes); with checkpoints the newest acked
     epoch at-or-before ``lsn`` seeds the replay (TSDB snapshot fast path).
     """
-    d = cfg.log_dir
-    segments = [
-        os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")
-    ]
+    segments = list_numbered(cfg.log_dir)
     schema = TableSchema(cfg.initial_schema)
     skip: set[str] = set()
     ranges: dict[str, tuple[int, int]] = {}  # one footer read per segment
@@ -135,10 +132,7 @@ def schema_timeline(cfg: CdcConfig) -> list[dict]:
     """Every schema change point in the log: [{lsn, ddl_sql, fingerprint,
     columns}] — the auditable DDL lineage (``MemoryTableMeta.snapshot()``
     analog, useful for debugging point-in-time reads)."""
-    d = cfg.log_dir
-    segments = [
-        os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")
-    ]
+    segments = list_numbered(cfg.log_dir)
     schema = TableSchema(cfg.initial_schema)
     out = [
         {

@@ -219,3 +219,60 @@ def test_connector_legacy_cursor_migration_no_loss(ray_session, tmp_path):
         (raw["schema_name"] == "mytest") & (raw["table_name"] == "repos")
     ]["lsn"]
     assert set(decodable) - got_lsns == set()
+
+
+def test_connector_batch_window_inorder_ack(ray_session, tmp_path):
+    """k>1 outstanding batches with strictly in-order ack (the reference's
+    per-client in-flight batch map, CanalServerWithEmbedded.java:350-464):
+    3 batches outstanding, out-of-order ack raises, rollback resets the get
+    cursor to the ack cursor, and a crash redelivers ALL un-acked epochs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pytest
+
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=100, n_events=3_000, n_segments=6, seed=87)
+    cfg = _cfg(tmp_path, d)  # 6 segments / epoch_segments=2 -> 3 epochs
+
+    c = CdcConnector(cfg, client_id="win", window=3)
+    b1, t1 = c.get_without_ack()
+    b2, t2 = c.get_without_ack()
+    b3, t3 = c.get_without_ack()
+    # the three batches cover disjoint, increasing lsn ranges
+    assert pc.max(t1["lsn"]).as_py() < pc.min(t2["lsn"]).as_py()
+    assert pc.max(t2["lsn"]).as_py() < pc.min(t3["lsn"]).as_py()
+    # window full
+    with pytest.raises(RuntimeError):
+        c.get_without_ack()
+    # out-of-order ack refused, cursor unmoved
+    with pytest.raises(ValueError):
+        c.ack(b2)
+    assert c.acked_epoch() == -1
+    # in-order ack advances the durable cursor batch by batch
+    c.ack(b1)
+    assert c.acked_epoch() == 1
+    # rollback with b2, b3 outstanding: get cursor resets to the ack cursor
+    # and the next get redelivers epoch 2, not epoch 4
+    c.rollback()
+    b2b, t2b = c.get_without_ack()
+    assert t2b.num_rows == t2.num_rows
+    assert pc.min(t2b["lsn"]).as_py() == pc.min(t2["lsn"]).as_py()
+    c.rollback()
+
+    # crash with 1-acked-of-3: a new connector gets the 2 un-acked epochs,
+    # crashes without ack -> a fresh instance redelivers BOTH
+    c2 = CdcConnector(cfg, client_id="win", window=3)
+    r1, u1 = c2.get_without_ack()
+    r2, u2 = c2.get_without_ack()
+    del c2  # crash: nothing acked
+    c3 = CdcConnector(cfg, client_id="win", window=3)
+    total = 0
+    seen = []
+    for bid, t in c3.drain():
+        total += t.num_rows
+        seen.append(t)
+    assert total == u1.num_rows + u2.num_rows
+    got = pa.concat_tables(seen)
+    want = pa.concat_tables([u1, u2])
+    assert sorted(got["lsn"].to_pylist()) == sorted(want["lsn"].to_pylist())
+    assert c3.acked_epoch() == 3

@@ -149,3 +149,36 @@ def test_schema_tamper_rejected(ray_session, fix, tmp_path):
     cfg = _cfg(fix, str(tmp_path / "lake"), handlers=(_tamper_handler(),))
     with pytest.raises(Exception, match="DECODED_SCHEMA|wire schema"):
         CdcJob(cfg).run()
+
+
+def test_after_hook_at_least_once_across_crash(ray_session, fix, tmp_path):
+    """after() is at-least-once: if the process dies between an epoch's
+    durable ack and the hook (or a handler raises inside after()), the next
+    run() replays the hook for every acked-but-unfired epoch."""
+    import os as _os
+
+    from canal_ray.checkpoint import atomic_write_json, read_json
+
+    coll = _after_collector()
+    cfg = _cfg(fix, str(tmp_path / "lake"), handlers=(coll,))
+    job = CdcJob(cfg)
+    report = job.run()
+    fired = [e for e, _ in coll.acks]
+    assert fired and fired[-1] == report["last_epoch"]
+
+    # simulate the crash window: acks durable, after-cursor behind by 2
+    cur_path = _os.path.join(job.store.ckpt_dir, "after_cursor.json")
+    cur = read_json(cur_path)
+    assert cur is not None and int(cur["fired_through"]) == report["last_epoch"]
+    atomic_write_json(cur_path, {"fired_through": report["last_epoch"] - 2})
+
+    coll2 = _after_collector()
+    cfg2 = _cfg(fix, str(tmp_path / "lake"), handlers=(coll2,))
+    job2 = CdcJob(cfg2)
+    job2.run()  # no new epochs — only the replay fires
+    replayed = [e for e, _ in coll2.acks]
+    assert replayed == [report["last_epoch"] - 1, report["last_epoch"]]
+    # cursor restored; a third run replays nothing
+    coll3 = _after_collector()
+    CdcJob(_cfg(fix, str(tmp_path / "lake"), handlers=(coll3,))).run()
+    assert coll3.acks == []

@@ -78,3 +78,25 @@ def test_ddl_parser_and_schema_evolution():
 
     with pytest.raises(ValueError):
         s.apply("ALTER TABLE mytest.repos MODIFY COLUMN stars INT")
+
+
+def test_list_numbered_natural_order(tmp_path):
+    """Segment listings sort by numeric value, not lexicographically:
+    'segment_100000' must follow 'segment_99999' once the zero-padded field
+    widens (epoch_segments x more segment files than epochs — they widen
+    first at scale)."""
+    import os
+
+    from canal_ray.checkpoint import list_numbered
+
+    d = str(tmp_path / "segs")
+    os.makedirs(d)
+    names = ["segment_99999.parquet", "segment_100000.parquet",
+             "segment_00001.parquet", "segment_100001.parquet"]
+    for n in names:
+        open(os.path.join(d, n), "w").close()
+    open(os.path.join(d, "notes.txt"), "w").close()  # filtered out
+    got = [os.path.basename(p) for p in list_numbered(d)]
+    assert got == ["segment_00001.parquet", "segment_99999.parquet",
+                   "segment_100000.parquet", "segment_100001.parquet"]
+    assert list_numbered(str(tmp_path / "missing")) == []
