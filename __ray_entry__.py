@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from canal_ray.ops.cdc_smoke import (
         cdc_connector_drain,
+        cdc_derived_event_stats,
         cdc_derived_lang_stats,
         cdc_replay_smoke,
         cdc_row_filter_smoke,
@@ -48,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incrementally maintained derived table (ES-adapter analog),
         # in-process recompute oracle on every call
         "cdc_derived_lang_stats": cdc_derived_lang_stats,  # rows-only
+        # derived table over the REGISTERED events table replayed through the
+        # full engine as a change stream — SQL-oracle-checkable end to end
+        "cdc_derived_event_stats": cdc_derived_event_stats,
         # row-level content predicate replay (aviator EL analog),
         # in-process filtered-oracle assert on every call
         "cdc_row_filter_smoke": cdc_row_filter_smoke,  # rows-only

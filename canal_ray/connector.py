@@ -157,8 +157,19 @@ class CdcConnector:
             )
             return batch.filter(keep)
 
+        # rolled-back XA txns never reach a client (their terminal marker is
+        # always inside the txn's own segment, hence inside this batch's
+        # epochs); footer-stat pruned — zero cost on XA-free logs
+        from canal_ray.pipeline import xa_rollback_txns
+
+        xa_rb = xa_rollback_txns(paths)
+        decoder = (
+            make_decoder(self.cfg, precompact=False, xa_rollback=xa_rb)
+            if len(xa_rb)
+            else self._decoder
+        )
         ds = ray.data.read_parquet(paths).map_batches(
-            self._decoder, batch_format="pyarrow",
+            decoder, batch_format="pyarrow",
             batch_size=self.cfg.decode_batch_size,
         ).map_batches(_dedup_meta, batch_format="pyarrow")
         pieces = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))

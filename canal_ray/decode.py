@@ -117,6 +117,7 @@ def make_decoder(
     precompact: bool = True,
     lsn_window: tuple[int, int] | None = None,
     epoch_his: list[int] | None = None,
+    xa_rollback: "np.ndarray | None" = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the per-batch decode function (a closure; compiled regexes are
     captured once — cheap enough for stateless tasks, no actor needed).
@@ -140,7 +141,14 @@ def make_decoder(
     letting a later-epoch event suppress an earlier-epoch one would leave
     that epoch's delta missing the key, so a merge-as-of that ack point
     (derived tables, point-in-time reads) would show stale state. The final
-    state is unaffected either way; the per-ack-point contract is not."""
+    state is unaffected either way; the per-ack-point contract is not.
+
+    ``xa_rollback`` (sorted txn_ids with an XAROLLBACK terminal marker —
+    ``canal_ray.pipeline.xa_rollback_txns`` scans them from segment footers)
+    drops every DML row of those transactions: an XA-rolled-back txn's rows
+    must never reach the lake (EventType.XACOMMIT/XAROLLBACK,
+    EntryProtocol.proto:202-222). The terminal markers themselves are
+    txn-scoped meta like heartbeats and never route to a partition."""
     white = re.compile(cfg.table_filter, re.IGNORECASE) if cfg.table_filter else None
     black = (
         re.compile(cfg.table_black_filter, re.IGNORECASE)
@@ -229,7 +237,10 @@ def make_decoder(
         # DDL and TRUNCATE replicate to every partition (each sink owns table
         # shards; Canal sends them to partition 0 only — see canal_ray.partition)
         is_ddl = op_mask("DDL", "TRUNCATE") & keep
-        dml_keep = keep & ~is_ddl & ~op_mask("MHEARTBEAT")
+        dml_keep = keep & ~is_ddl & ~op_mask("MHEARTBEAT", "XACOMMIT", "XAROLLBACK")
+        if xa_rollback is not None and len(xa_rollback) and dml_keep.any():
+            # rolled-back XA transactions: their rows never commit
+            dml_keep &= ~np.isin(batch["txn_id"].to_numpy(), xa_rollback)
 
         # --- row-level content predicate (DML rows only — meta entries are
         # exempt, like the reference applying the EL filter to ROWDATA).

@@ -42,6 +42,9 @@ LOG_SCHEMA = pa.schema(
         pa.field("lsn", pa.int64()),
         pa.field("segment", pa.int32()),
         pa.field("txn_id", pa.int64()),
+        # GTID of the enclosing transaction, "server_uuid:txn" (the Header
+        # gtid field, EntryProtocol.proto:32-36); null on heartbeats
+        pa.field("gtid", pa.string()),
         pa.field("op", pa.string()),  # INSERT | UPDATE | DELETE | DDL
         pa.field("schema_name", pa.string()),
         pa.field("table_name", pa.string()),
@@ -155,6 +158,7 @@ def generate_fixture(
     drop_at: float | None = None,
     index_at: float | None = None,
     txn_span: bool = False,
+    xa_frac: float | None = None,
     force: bool = False,
 ) -> dict:
     """Generate base table + binlog segments; returns the fixture meta dict.
@@ -167,7 +171,7 @@ def generate_fixture(
         n_base=n_base, n_events=n_events, n_segments=n_segments, seed=seed,
         zipf_s=zipf_s, content_scale=content_scale, p_insert=p_insert,
         p_update=p_update, p_noise=p_noise, hot_frac=hot_frac,
-        truncate_at=truncate_at, p_partial=p_partial, version=5,
+        truncate_at=truncate_at, p_partial=p_partial, version=6,
     )
     # opt-in keys only when set: default param dicts (and therefore cached
     # fixtures and their digests) stay byte-identical to earlier versions
@@ -179,6 +183,11 @@ def generate_fixture(
         params["index_at"] = index_at
     if txn_span:
         params["txn_span"] = True
+    if xa_frac is not None:
+        if txn_span:
+            raise ValueError("xa_frac requires txn_span=False (XA terminal "
+                             "markers live in the txn's own segment)")
+        params["xa_frac"] = xa_frac
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
@@ -192,6 +201,11 @@ def generate_fixture(
     _shutil.rmtree(os.path.join(out_dir, "binlog"), ignore_errors=True)
 
     rng = np.random.default_rng(seed)
+    # deterministic source-server identity for GTIDs (MySQL server_uuid)
+    import hashlib as _hashlib
+
+    _uu = _hashlib.sha1(f"canal-ray-gtid-{seed}".encode()).hexdigest()
+    server_uuid = f"{_uu[:8]}-{_uu[8:12]}-{_uu[12:16]}-{_uu[16:20]}-{_uu[20:32]}"
     pool_strings = _content_pool(rng, content_scale)
     n_pool = len(pool_strings)
 
@@ -252,6 +266,7 @@ def generate_fixture(
     n_inserted = 0  # keys consumed from pool beyond base
     next_txn = 1
     lsn0 = 1
+    xa_rollback_ids: list[int] = []
     seg_sizes = [n_events // n_segments] * n_segments
     seg_sizes[-1] += n_events - sum(seg_sizes)
     segments = []
@@ -346,6 +361,32 @@ def generate_fixture(
         # because reordering would change every cached fixture's bytes.
         hb = (lsns % 997 == 0) & ~ddl_mask & ~noise & ~tr_mask
         ops[hb] = "MHEARTBEAT"
+
+        # XA transactions (EventType.XACOMMIT/XAROLLBACK,
+        # EntryProtocol.proto:202-222): a fraction of transactions terminate
+        # with an explicit XA marker — XACOMMIT keeps the txn's rows,
+        # XAROLLBACK retroactively voids them (engine and oracle both exclude
+        # rolled-back txns' rows from the lake). The marker REPLACES the
+        # txn's final event (lsns stay contiguous) and always lives in the
+        # txn's own segment (the txn_span=False contract). Txns containing a
+        # DDL/TRUNCATE/heartbeat are never XA (MySQL DDL implicitly commits,
+        # so it cannot sit inside an XA transaction).
+        xa_mask = np.zeros(n_ev, dtype=bool)
+        if xa_frac:
+            uniq, first_idx = np.unique(txn_rep, return_index=True)
+            counts = np.diff(np.concatenate([first_idx, [n_ev]]))
+            last_idx = first_idx + counts - 1
+            grp = np.searchsorted(uniq, txn_rep)
+            has_meta = (
+                np.bincount(grp[ddl_mask | tr_mask | hb], minlength=len(uniq)) > 0
+            )
+            is_xa = (rng.random(len(uniq)) < xa_frac) & ~has_meta
+            rolls = rng.random(len(uniq)) < 0.4  # of XA txns, ~40% roll back
+            xa_idx = last_idx[is_xa]
+            ops[xa_idx] = np.where(rolls[is_xa], "XAROLLBACK", "XACOMMIT")
+            xa_mask[xa_idx] = True
+            noise[xa_idx] = False  # a converted audit row is a marker now
+            xa_rollback_ids.extend(int(t) for t in uniq[is_xa & rolls])
 
         has_image = ((ops == "INSERT") | (ops == "UPDATE")) & ~noise
         has_stars = lsns > stars_lsn
@@ -492,13 +533,20 @@ def generate_fixture(
 
         table_name = np.where(noise, "audit", "repos").astype(object)
         table_name[ddl_mask | tr_mask] = "repos"
-        table_name[hb] = ""
+        table_name[hb | xa_mask] = ""  # txn-scoped markers carry no table
         pk_repo = repo_arr.copy()
         pk_path = path_arr.copy()
         pk_repo[noise] = np.array([str(int(l)) for l in lsns[noise]], dtype=object)
         pk_path[noise] = "audit"
-        pk_repo[ddl_mask | hb | tr_mask] = None
-        pk_path[ddl_mask | hb | tr_mask] = None
+        pk_repo[ddl_mask | hb | tr_mask | xa_mask] = None
+        pk_path[ddl_mask | hb | tr_mask | xa_mask] = None
+        # GTID = "server_uuid:txn" (Header.gtid, EntryProtocol.proto:32-36);
+        # heartbeats are server liveness, not transaction events -> null
+        gtid = np.add(
+            np.full(n_ev, server_uuid + ":", dtype=object),
+            np.char.mod("%d", txn_rep).astype(object),
+        )
+        gtid[hb] = None
         ddl_sql = np.full(n_ev, None, dtype=object)
         for i in np.flatnonzero(ddl_mask):
             ddl_sql[i] = ddl_lsns[int(lsns[i])]
@@ -510,6 +558,7 @@ def generate_fixture(
                 "lsn": pa.array(lsns, type=pa.int64()),
                 "segment": pa.array(np.full(n_ev, seg, dtype=np.int32)),
                 "txn_id": pa.array(txn_rep.astype(np.int64)),
+                "gtid": pa.array(gtid, type=pa.string()),
                 "op": pa.array(ops, type=pa.string()),
                 "schema_name": pa.array(["mytest"] * n_ev, type=pa.string()),
                 "table_name": pa.array(table_name, type=pa.string()),
@@ -538,6 +587,8 @@ def generate_fixture(
         "segments": [os.path.basename(s) for s in segments],
         "base": "base/repos.parquet",
         "last_lsn": int(lsn0 - 1),
+        "server_uuid": server_uuid,
+        "xa_rollback_txns": sorted(xa_rollback_ids),
     }
     with open(meta_path, "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)

@@ -38,6 +38,16 @@ def _load_queries(sf_dir: str, n_queries: int):
 def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
     """Grouped top-k reduce shared by every ANN variant (deterministic
     tie-break on vec_id)."""
+    if g.empty:
+        # typed empty output: map_groups runs on empty partitions too, and a
+        # column-less frame emits schema-less RefBundles (executor warning)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
     g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
     g = g.reset_index(drop=True)
     g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)

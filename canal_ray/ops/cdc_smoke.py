@@ -191,6 +191,109 @@ def cdc_derived_lang_stats(sf_dir: str) -> pd.DataFrame:
     return inc
 
 
+def cdc_derived_event_stats(sf_dir: str) -> pd.DataFrame:
+    """Derived-table path with a FULL SQL oracle: the registered ``events``
+    table is interpreted as a change stream keyed by ``user_id`` (each row an
+    upsert of that user's state, ordered by (ts, event_id) — the
+    ``cdc_latest_state_by_user`` semantics), replayed through the whole
+    engine (decode -> shuffle -> LWW sink -> checkpoints) into a lake, and an
+    incrementally maintained aggregate (``DerivedTable``) groups the LATEST
+    per-user state by event_type. Deterministic from ``events`` alone, so
+    DuckDB can express it: QUALIFY latest-per-key, then aggregate.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.derived import DerivedTable
+    from canal_ray.loggen import LOG_SCHEMA
+    from canal_ray.pipeline import CdcJob
+    from canal_ray.sink import DELTA_FORMAT_VERSION
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n = len(df)
+    key = hashlib.sha256(
+        f"{sf_dir}|{n}|{int(df['event_id'].iloc[-1]) if n else 0}|"
+        f"{DELTA_FORMAT_VERSION}|v1".encode()
+    ).hexdigest()[:12]
+    root = f"/tmp/canal_ray_evstream_{key}"
+    log_dir = os.path.join(root, "binlog")
+    lake = os.path.join(root, "lake")
+
+    n_segments = 4
+    if not os.path.isdir(log_dir) or len(os.listdir(log_dir)) < n_segments:
+        os.makedirs(log_dir, exist_ok=True)
+        uid = df["user_id"].astype(str).to_numpy(dtype=object)
+        etype = df["event_type"].to_numpy(dtype=object)
+        value_c = np.round(df["value"].to_numpy() * 10_000).astype(np.int64)
+        lsn = np.arange(1, n + 1, dtype=np.int64)
+        bounds = np.linspace(0, n, n_segments + 1).astype(int)
+        for s in range(n_segments):
+            a, b = bounds[s], bounds[s + 1]
+            m = b - a
+            cols = pa.array(
+                [["uid", "utag", "event_type", "value_c"]] * m,
+                type=pa.list_(pa.string()),
+            )
+            vals = pa.array(
+                [
+                    [uid[i], "", etype[i], str(value_c[i])]
+                    for i in range(a, b)
+                ],
+                type=pa.list_(pa.string()),
+            )
+            t = pa.table(
+                {
+                    "lsn": pa.array(lsn[a:b]),
+                    "segment": pa.array(np.full(m, s, dtype=np.int32)),
+                    "txn_id": pa.array(lsn[a:b]),
+                    "gtid": pa.nulls(m, type=pa.string()),
+                    "op": pa.array(["UPDATE"] * m),
+                    "schema_name": pa.array(["appdb"] * m),
+                    "table_name": pa.array(["events"] * m),
+                    "pk_repo": pa.array(uid[a:b], type=pa.string()),
+                    "pk_path": pa.array([""] * m),
+                    "cols": cols,
+                    "vals": vals,
+                    "ddl_sql": pa.nulls(m, type=pa.string()),
+                    "execute_time": pa.array(
+                        df["ts"].iloc[a:b].astype("datetime64[ms]").to_numpy()
+                    ),
+                },
+                schema=LOG_SCHEMA,
+            )
+            pq.write_table(t, os.path.join(log_dir, f"segment_{s:05d}.parquet"))
+
+    cfg = CdcConfig(
+        log_dir=log_dir, lake_dir=lake,
+        schema_name="appdb", table_name="events",
+        pk_columns=("uid", "utag"),
+        initial_schema=(
+            ("uid", "string"), ("utag", "string"),
+            ("event_type", "string"), ("value_c", "int64"),
+        ),
+        table_filter=r"appdb\.events",
+        num_partitions=8, epoch_segments=1,
+    )
+    job = CdcJob(cfg)
+    job.run()  # fenced no-op when the lake is already complete
+    dt = DerivedTable(
+        lake, "event_type_stats", "event_type",
+        [("n_users", "count", None), ("total_value_c", "sum", "value_c")],
+    )
+    inc = dt.update(job)
+    full = dt.recompute(job)
+    if not inc.reset_index(drop=True).equals(full.reset_index(drop=True)):
+        raise AssertionError("incremental derived table diverged from recompute")
+    return inc[["event_type", "n_users", "total_value_c"]]
+
+
 def cdc_connector_drain(sf_dir: str) -> pd.DataFrame:
     """Consumer-protocol smoke: drain the smoke fixture's log through the
     get/ack cursor protocol (``canal_ray.connector``), a fresh client each

@@ -13,6 +13,23 @@ RELATIONAL_SQL: dict[str, str] = {
             PARTITION BY user_id ORDER BY ts DESC, event_id DESC
         ) = 1
     """,
+    # derived-table path (ES-adapter analog): the events table replayed as a
+    # change stream keyed by user_id through the full engine, then the
+    # incrementally maintained aggregate groups the LATEST per-user state
+    "cdc_derived_event_stats": """
+        WITH latest AS (
+            SELECT user_id, event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS value_c
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
+        )
+        SELECT event_type,
+               count(*)                        AS n_users,
+               CAST(sum(value_c) AS BIGINT)    AS total_value_c
+        FROM latest GROUP BY event_type
+    """,
     "cdc_event_type_stats": """
         SELECT event_type,
                count(*)               AS n,

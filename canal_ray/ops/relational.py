@@ -219,35 +219,28 @@ def building_segment_order_revenue(sf_dir: str, threshold: float = 100_000.0) ->
     """Q3-flavored: revenue per order for BUILDING-segment customers above a
     revenue threshold.
 
-    Fact tables (lineitem, orders) are never driver-loaded or broadcast:
-    lineitem pre-aggregates per-order revenue partials inside ``map_batches``
-    (combiner), the partials reduce in one small groupby, and the result joins
-    the BUILDING-filtered orders stream with a native hash-partitioned
-    ``Dataset.join``. Only the *customer segment keyset* — a true dimension
-    lookup (the ``ESSyncService.java:546-575`` shape) — is broadcast, and it
-    is computed by a streaming scan, not a driver read."""
+    NOTHING key-scale is ever driver-loaded or broadcast — customer is a
+    fact-scale table in TPC-H (rows grow with SF), so even its segment
+    keyset cannot live on the driver at 100x. The customer filter is a
+    native hash-partitioned ``Dataset.join(left_semi)`` (orders ⋉ BUILDING
+    customers), then lineitem pre-aggregates per-order revenue partials
+    inside ``map_batches`` (combiner) and a single tagged-union shard
+    groupby performs both the partial reduce and the orders join."""
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
 
     def building_keys(t: pa.Table) -> pa.Table:
         m = pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
         return t.filter(m).select(["c_custkey"])
 
-    bkeys = set(
-        cust.map_batches(building_keys, batch_format="pyarrow").to_pandas()["c_custkey"]
-    )
-    bkeys_ref = ray.put(bkeys)
+    bkeys_ds = cust.map_batches(building_keys, batch_format="pyarrow")
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-
-    def building_orders(t: pa.Table) -> pa.Table:
-        from canal_ray.ops.util import cached_get
-
-        keep = pd.Series(t["o_custkey"].to_numpy()).isin(cached_get(bkeys_ref))
-        return t.filter(pa.array(keep.to_numpy())).select(["o_orderkey", "o_orderdate"])
-
-    orders_f = orders.map_batches(building_orders, batch_format="pyarrow")
+    orders_f = orders.join(
+        bkeys_ds, join_type="left_semi", num_partitions=16,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",

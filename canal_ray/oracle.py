@@ -82,12 +82,28 @@ def replay_oracle(
             for img in state.values():
                 img.pop(res.column, None)
 
+    # rolled-back XA transactions (EntryProtocol.proto:202-222): their rows
+    # never commit. Marker at-or-below the cut point required — a rollback
+    # above ``up_to_lsn`` has not happened yet as of that position.
+    xa_rb: set[int] = set()
+    for seg in segment_paths(fixture_dir):
+        t = pq.read_table(seg, columns=["lsn", "op", "txn_id"])
+        for lsn, op, txn in zip(
+            t["lsn"].to_pylist(), t["op"].to_pylist(), t["txn_id"].to_pylist()
+        ):
+            if op == "XAROLLBACK" and (up_to_lsn is None or lsn <= up_to_lsn):
+                xa_rb.add(txn)
+
     want_schema, want_table = table_filter.split(".", 1)
     for seg in segment_paths(fixture_dir):
         tbl = pq.read_table(seg)
         for row in tbl.sort_by("lsn").to_pylist():
             if up_to_lsn is not None and row["lsn"] > up_to_lsn:
                 return _finalize(state, schema)
+            if row["op"] in ("XACOMMIT", "XAROLLBACK"):
+                continue
+            if xa_rb and row["txn_id"] in xa_rb:
+                continue
             if row["op"] == "DDL":
                 # DDL must pass the SAME table filter the engine's decode
                 # applies (regex whitelist on schema.table) — a DDL targeting

@@ -117,6 +117,85 @@ def _txn_cut(segs: list[str], next_first_txn: int) -> int | None:
     return None
 
 
+def xa_rollback_txns(paths: list[str], up_to_lsn: int | None = None) -> np.ndarray:
+    """Sorted txn_ids with an XAROLLBACK terminal marker in ``paths`` — the
+    rolled-back-transaction set the decoder excludes
+    (EventType.XACOMMIT/XAROLLBACK, EntryProtocol.proto:202-222).
+    ``up_to_lsn`` bounds the scan for point-in-time reads: a marker above
+    the cut has not happened yet as of that position.
+
+    Scale shape: the driver reads only parquet FOOTERS — a row group whose
+    op-column max sorts below ``"XAROLLBACK"`` cannot contain a marker, so
+    XA-free segments cost zero data reads. Candidate row groups (rare) are
+    read by parallel Ray tasks returning a handful of ints each."""
+    import pyarrow.parquet as pq
+
+    candidates: list[tuple[str, list[int]]] = []
+    for path in paths:
+        md = pq.read_metadata(path)
+        schema = md.schema.to_arrow_schema()
+        op_idx = schema.get_field_index("op")
+        if op_idx < 0:
+            continue
+        rgs = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(op_idx).statistics
+            if st is None or st.max is None or str(st.max) >= "XAROLLBACK":
+                rgs.append(rg)
+        if rgs:
+            candidates.append((path, rgs))
+    if not candidates:
+        return np.empty(0, dtype=np.int64)
+
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _scan(path: str, rgs: list[int], bound: int | None) -> np.ndarray:
+        pf = pq.ParquetFile(path)
+        out = []
+        for rg in rgs:
+            t = pf.read_row_group(rg, columns=["lsn", "op", "txn_id"])
+            m = pc.equal(t["op"], pa.scalar("XAROLLBACK"))
+            if bound is not None:
+                m = pc.and_(m, pc.less_equal(t["lsn"], pa.scalar(bound)))
+            out.append(t["txn_id"].filter(m).to_numpy(zero_copy_only=False))
+        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+    got = ray.get([_scan.remote(p, rgs, up_to_lsn) for p, rgs in candidates])
+    ids = np.unique(np.concatenate(got)) if got else np.empty(0, dtype=np.int64)
+    return ids.astype(np.int64)
+
+
+def _gtid_at(seg_stats, segs: list[str], lsn_hi: int) -> str | None:
+    """GTID of the last transaction event at-or-below ``lsn_hi`` — the ack
+    watermark's gtid (the reference checkpoints gtid alongside the log
+    position, ``position/EntryPosition.java:9-43``). One tail row-group read
+    of two narrow columns in the segment containing the cut."""
+    import pyarrow.parquet as pq
+
+    best: tuple[int, str] | None = None
+    for seg in reversed(segs):
+        lo, hi, _ = seg_stats(seg)
+        if lo > lsn_hi:
+            continue
+        pf = pq.ParquetFile(seg)
+        if pf.schema_arrow.get_field_index("gtid") < 0:
+            return None
+        for rg in range(pf.metadata.num_row_groups - 1, -1, -1):
+            t = pf.read_row_group(rg, columns=["lsn", "gtid"])
+            lsn = t["lsn"].to_numpy()
+            g = t["gtid"].to_numpy(zero_copy_only=False)
+            ok = (lsn <= lsn_hi) & (g != None)  # noqa: E711
+            if ok.any():
+                j = int(lsn[ok].argmax())
+                cand = (int(lsn[ok][j]), str(g[ok][j]))
+                if best is None or cand[0] > best[0]:
+                    best = cand
+                return best[1]
+        # no qualifying row in this segment; try the previous one
+    return best[1] if best else None
+
+
 def _base_to_log(batch: pa.Table, cfg: CdcConfig) -> pa.Table:
     """Initial-snapshot rows -> lsn-0 INSERT events in the log wire format.
 
@@ -147,6 +226,7 @@ def _base_to_log(batch: pa.Table, cfg: CdcConfig) -> pa.Table:
             "lsn": pa.array(np.zeros(n, dtype=np.int64)),
             "segment": pa.array(np.full(n, -1, dtype=np.int32)),
             "txn_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "gtid": pa.array([None] * n, type=pa.string()),
             "op": pa.array(["INSERT"] * n, type=pa.string()),
             "schema_name": pa.array([cfg.schema_name] * n, type=pa.string()),
             "table_name": pa.array([cfg.table_name] * n, type=pa.string()),
@@ -486,6 +566,9 @@ class CdcJob:
                 min(lo for _, lo, _ in epoch_ranges),
                 max(hi for _, _, hi in epoch_ranges),
             )
+        # rolled-back XA transactions in this cycle's segments (footer-stat
+        # pruned — zero data reads for XA-free logs)
+        xa_rb = xa_rollback_txns(log_segs) if log_segs else None
         ds = ds.map_batches(
             make_decoder(
                 cfg,
@@ -493,6 +576,7 @@ class CdcJob:
                 # scope LWW pre-compaction within epochs: a later epoch's
                 # event must not suppress an earlier epoch's from its delta
                 epoch_his=sorted(hi for _, _, hi in epoch_ranges),
+                xa_rollback=xa_rb if xa_rb is not None and len(xa_rb) else None,
             ),
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
@@ -594,6 +678,12 @@ class CdcJob:
             # txn-aligned ack point: pin the cut so a tail-appended log never
             # reinterprets an acked boundary (_compute_cuts reads this back)
             out["lsn_hi"] = int(self._cuts[epoch][1])
+        # gtid watermark of the ack point (the reference checkpoints gtid
+        # alongside the log position, position/EntryPosition.java:9-43)
+        src = segs or self._overlap.get(epoch, [])
+        if epoch > 0 and src:
+            hi = out.get("lsn_hi") or max(self._seg_stats(s)[1] for s in src)
+            out["gtid_hi"] = _gtid_at(self._seg_stats, src, int(hi))
         return out
 
     def _schema_at(self, epoch: int) -> TableSchema:
@@ -651,6 +741,126 @@ class CdcJob:
             if pa.types.is_integer(typ):
                 df[name] = df[name].astype("Int64")
         pk = list(self.cfg.pk_columns)
+        return df.sort_values(pk).reset_index(drop=True)
+
+    # ------------------------------------------------------- point-in-time
+    def read_state_as_of(self, lsn: int) -> "ray.data.Dataset":
+        """Point-in-time lake read: live rows exactly as a sequential replay
+        truncated at ``lsn`` would leave them — the DATA half of the
+        reference's ``DatabaseTableMeta.rollback(position)``
+        (``tsdb/DatabaseTableMeta.java:161-181`` rebuilds only the schema;
+        ``tsdb.schema_as_of`` is that half here, and this pairs it with a
+        delta-bounded merge).
+
+        Shape (scale-safe): per-partition merge of acked deltas up to the
+        greatest ack point <= lsn — no re-read of applied history — plus a
+        decoded tail slice (ack point, lsn] re-read from the log under an
+        lsn window (bounded by ~one epoch of segments), grouped by partition
+        into delta-shaped scratch files. Fully distributed; the driver holds
+        only the epoch chain and one summary row per partition.
+
+        Constraint (shared with derived tables): deltas at-and-after the cut
+        must still exist — compaction folds history into base, after which
+        positions before the compaction horizon are not reconstructable
+        (Canal's TSDB has the same snapshot-granularity behavior).
+        """
+        import shutil
+
+        from canal_ray.sink import AsOfLakeMerger, make_asof_tail_writer
+        from canal_ray.tsdb import schema_as_of
+
+        cfg = self.cfg
+        lsn = int(lsn)
+        # epoch chain upper bounds: manifest lsn_hi when pinned
+        # (txn-aligned acks), else segment footer stats
+        last = self.store.last_complete_epoch()
+        e_star, hi_star = 0, 0
+        prev_hi = 0
+        for e in range(1, last + 1):
+            m = self.store.read_epoch(e)
+            if m is None:
+                break
+            if "lsn_hi" in m:
+                hi = int(m["lsn_hi"])
+            elif m["segments"]:
+                hi = max(
+                    self._seg_stats(os.path.join(cfg.log_dir, b))[1]
+                    for b in m["segments"]
+                )
+            else:
+                hi = prev_hi
+            prev_hi = hi
+            if hi <= lsn:
+                e_star, hi_star = e, hi
+            else:
+                break
+        schema_t = schema_as_of(cfg, lsn)
+        scratch = os.path.join(cfg.lake_dir, "_asof", f"lsn{lsn}")
+        shutil.rmtree(scratch, ignore_errors=True)  # stale prior read
+        pids = {
+            int(os.path.basename(d)[1:])
+            for d in lake_partition_dirs(cfg.lake_dir)
+        }
+        if lsn > hi_star:
+            tail_segs = [
+                s
+                for s in self.segment_files()
+                if self._seg_stats(s)[0] <= lsn and self._seg_stats(s)[1] > hi_star
+            ]
+            if tail_segs:
+                os.makedirs(scratch, exist_ok=True)
+                xa_rb = xa_rollback_txns(tail_segs, up_to_lsn=lsn)
+                tail = ray.data.read_parquet(tail_segs).map_batches(
+                    make_decoder(
+                        cfg,
+                        lsn_window=(hi_star + 1, lsn),
+                        xa_rollback=xa_rb if len(xa_rb) else None,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=cfg.decode_batch_size,
+                )
+                writer = make_asof_tail_writer(
+                    scratch, schema_t.to_json(), cfg.pk_columns, cfg.partial_updates
+                )
+                summaries = (
+                    tail.groupby("partition_id")
+                    .map_groups(writer, batch_format="pyarrow")
+                    .take_all()  # bounded: one summary row per partition
+                )
+                pids |= {int(s["partition_id"]) for s in summaries}
+        if not pids:
+            return ray.data.from_arrow(schema_t.to_arrow().empty_table())
+        items = [{"partition_id": p} for p in sorted(pids)]
+        merger = AsOfLakeMerger(
+            cfg.lake_dir, schema_t.to_json(), cfg.pk_columns, e_star, scratch
+        )
+        return ray.data.from_items(items).map_batches(
+            merger, batch_format="pyarrow", batch_size=1
+        )
+
+    def state_as_of(self, lsn: int) -> pd.DataFrame:
+        from canal_ray.tsdb import schema_as_of
+
+        df = self.read_state_as_of(lsn).to_pandas()
+        schema_t = schema_as_of(self.cfg, int(lsn))
+        arrow = schema_t.to_arrow()
+        if df.empty:  # Ray's to_pandas drops columns on empty datasets
+            df = arrow.empty_table().to_pandas()
+        for name, typ in zip(arrow.names, arrow.types):
+            if pa.types.is_integer(typ):
+                df[name] = df[name].astype("Int64")
+        # pk columns may have been renamed by DDL before the target — sort by
+        # their as-of-era names (resolution through slot aliases)
+        pk = []
+        for c in self.cfg.pk_columns:
+            i = schema_t.resolve(c)
+            pk.append(schema_t.slots()[i].name if i is not None else c)
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.cfg.lake_dir, "_asof", f"lsn{int(lsn)}"),
+            ignore_errors=True,
+        )
         return df.sort_values(pk).reset_index(drop=True)
 
     def compact(self) -> pd.DataFrame:

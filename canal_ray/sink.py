@@ -803,18 +803,25 @@ def merge_partition(
     schema: TableSchema,
     pk: tuple[str, str],
     up_to_epoch: int | None = None,
+    extra_paths: list[str] | None = None,
 ) -> pa.Table:
     """LWW-merge base + deltas of one partition -> live rows (payload + _lsn).
 
     ``up_to_epoch`` restricts the merge to deltas of epochs <= the cutoff —
     the state *as of* that ack point (used by incremental derived-table
-    maintenance). Only meaningful while those deltas still exist: compaction
-    folds deltas into base, so derived tables must be brought current before
-    compacting.
+    maintenance and point-in-time reads). Only meaningful while those deltas
+    still exist: compaction folds deltas into base, so derived tables and
+    as-of reads must be brought current / bounded before compacting.
+
+    ``extra_paths`` merges additional delta-shaped parquet files (the
+    point-in-time tail slice of ``CdcJob.state_as_of``) alongside the
+    partition's own files; their ``truncate_lsn`` metadata participates
+    identically.
     """
     files = sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else []
     tables = []
     truncate_lsn = 0
+    paths = []
     for name in files:
         if name.startswith("delta_e") and name.endswith(".parquet"):
             # name = f"delta_e{epoch:05d}.parquet"; parse ALL digits (epochs
@@ -823,7 +830,10 @@ def merge_partition(
                 continue
         elif name != "base.parquet":
             continue
-        t = pq.read_table(os.path.join(part_dir, name))
+        paths.append(os.path.join(part_dir, name))
+    paths.extend(extra_paths or [])
+    for path in paths:
+        t = pq.read_table(path)
         md = t.schema.metadata or {}
         if b"truncate_lsn" in md:
             truncate_lsn = max(truncate_lsn, int(md[b"truncate_lsn"]))
@@ -858,6 +868,101 @@ class LakeMerger:
         for part_dir in batch["part_dir"].to_pylist():
             t = merge_partition(part_dir, self.schema, self.pk)
             outs.append(t if self.keep_lsn else t.drop_columns([META_LSN]))
+        return pa.concat_tables(outs)
+
+
+# ---------------------------------------------------------------------------
+# point-in-time reads — the DATA half of DatabaseTableMeta.rollback(position)
+# (tsdb/DatabaseTableMeta.java:161-181 rebuilds SCHEMA as of any position;
+# CdcJob.state_as_of pairs it with this machinery to rebuild STATE)
+# ---------------------------------------------------------------------------
+
+ASOF_SUMMARY_SCHEMA = pa.schema(
+    [pa.field("partition_id", pa.int32()), pa.field("rows", pa.int64())]
+)
+
+
+def make_asof_tail_writer(
+    scratch_dir: str,
+    schema_json: list[list[str]],
+    pk: tuple[str, str],
+    partial: bool,
+) -> Callable[[pa.Table], pa.Table]:
+    """``map_groups`` fn over decoded tail events grouped by partition_id:
+    materializes the (ack-point, target-lsn] slice into ONE delta-shaped
+    scratch parquet per partition, which ``AsOfLakeMerger`` merges alongside
+    the partition's acked deltas. ``schema_json`` is the slot model as of the
+    TARGET position (older/shorter images materialize by the prefix
+    invariant; tail DDL is already folded into it by ``tsdb.schema_as_of``).
+    Tail poison rows are excluded ('never existed'), not re-quarantined."""
+
+    def write_tail(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return ASOF_SUMMARY_SCHEMA.empty_table()
+        pid = int(group["partition_id"][0].as_py())
+        schema = TableSchema.from_json(schema_json)
+        ops = group["op"].to_numpy(zero_copy_only=False)
+        lsn_all = group["lsn"].to_numpy()
+        truncate_lsn = 0
+        tr = ops == "TRUNCATE"
+        if tr.any():
+            truncate_lsn = int(lsn_all[tr].max())
+        dml_mask = (ops != "DDL") & ~tr
+        if truncate_lsn:
+            dml_mask &= lsn_all > truncate_lsn
+        dml = group.filter(pa.array(dml_mask))
+        typed, _poison = materialize_images(dml, schema, pk, allow_patches=partial)
+        delta = fold_rows(typed, pk, terminal=False) if partial else typed
+        if truncate_lsn:
+            meta = dict(delta.schema.metadata or {})
+            meta[b"truncate_lsn"] = str(truncate_lsn).encode()
+            delta = delta.replace_schema_metadata(meta)
+        _atomic_write_parquet(
+            delta, os.path.join(scratch_dir, f"p{pid:05d}.parquet"), fsync=False
+        )
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], type=pa.int32()),
+                "rows": pa.array([delta.num_rows], type=pa.int64()),
+            },
+            schema=ASOF_SUMMARY_SCHEMA,
+        )
+
+    return write_tail
+
+
+class AsOfLakeMerger:
+    """``map_batches`` callable: one input row = one partition id, merged as
+    of a target position — acked deltas <= the cut epoch + the scratch tail
+    slice, conformed to the as-of slot model (renames resolve through
+    aliases; columns dropped after the target are still live)."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        schema_json: list[list[str]],
+        pk: tuple[str, str],
+        up_to_epoch: int,
+        scratch_dir: str,
+    ):
+        self.lake_dir = lake_dir
+        self.schema = TableSchema.from_json(schema_json)
+        self.pk = pk
+        self.up_to_epoch = up_to_epoch
+        self.scratch_dir = scratch_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for pid in batch["partition_id"].to_pylist():
+            extra = os.path.join(self.scratch_dir, f"p{int(pid):05d}.parquet")
+            t = merge_partition(
+                partition_dir(self.lake_dir, int(pid)),
+                self.schema,
+                self.pk,
+                up_to_epoch=self.up_to_epoch,
+                extra_paths=[extra] if os.path.exists(extra) else None,
+            )
+            outs.append(t.drop_columns([META_LSN]))
         return pa.concat_tables(outs)
 
 

@@ -53,6 +53,7 @@ def assert_parity(ray_df, sql: str):
     "name",
     [
         "cdc_latest_state_by_user",
+        "cdc_derived_event_stats",
         "cdc_event_type_stats",
         "cdc_hourly_event_counts",
         "cdc_sessionize_users",
