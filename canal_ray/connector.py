@@ -34,7 +34,7 @@ import ray.data
 
 from canal_ray.checkpoint import atomic_write_json, read_json
 from canal_ray.config import CdcConfig
-from canal_ray.decode import make_decoder
+from canal_ray.decode import DECODE_INPUT_COLUMNS, make_decoder
 
 
 class CdcConnector:
@@ -168,7 +168,7 @@ class CdcConnector:
             if len(xa_rb)
             else self._decoder
         )
-        ds = ray.data.read_parquet(paths).map_batches(
+        ds = ray.data.read_parquet(paths, columns=DECODE_INPUT_COLUMNS).map_batches(
             decoder, batch_format="pyarrow",
             batch_size=self.cfg.decode_batch_size,
         ).map_batches(_dedup_meta, batch_format="pyarrow")

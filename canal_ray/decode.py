@@ -40,6 +40,15 @@ import pyarrow.compute as pc
 from canal_ray.config import CdcConfig
 from canal_ray.partition import ids_from_words, key_hash_words
 
+# the log columns decode actually consumes — readers prune to exactly these
+# (segment/gtid/execute_time are footer-stat / checkpoint concerns and must
+# never ride through the decode chain: at 10^10 events every unread byte of
+# parquet decode + memory traffic counts)
+DECODE_INPUT_COLUMNS = [
+    "lsn", "txn_id", "op", "schema_name", "table_name",
+    "pk_repo", "pk_path", "cols", "vals", "ddl_sql",
+]
+
 # post-decode wire format (what the one shuffle actually moves).
 # patch_cols is null for full images (their column set is the schema prefix
 # identified by img_len) and carries the column-name list ONLY for minimal
@@ -284,10 +293,17 @@ def make_decoder(
 
         out = []
         if dml_keep.any():
-            dml = batch.filter(pa.array(dml_keep))  # the ONE payload copy
+            # ONE take both filters and GROUPS BY PARTITION (stable: rows of
+            # a partition stay in log order) — the scatter stage detects the
+            # non-decreasing partition_id run and slices record batches with
+            # zero additional payload copy, halving the chain's memory
+            # traffic vs filter-here + sort-there
+            keep_idx = np.flatnonzero(dml_keep)
+            order = keep_idx[np.argsort(pid[keep_idx], kind="stable")]
+            dml = batch.take(pa.array(order))  # the ONE payload copy
             out.append(
                 dml.append_column(
-                    "partition_id", pa.array(pid[dml_keep], type=pa.int32())
+                    "partition_id", pa.array(pid[order], type=pa.int32())
                 )
             )
         if is_ddl.any():

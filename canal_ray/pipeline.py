@@ -41,7 +41,7 @@ import ray.data
 from canal_ray.checkpoint import CheckpointStore
 from canal_ray.config import CdcConfig
 from canal_ray.ddl import TableSchema
-from canal_ray.decode import make_decoder
+from canal_ray.decode import DECODE_INPUT_COLUMNS, make_decoder
 from canal_ray.loggen import EPOCH_MS, LOG_SCHEMA
 from canal_ray.sink import LakeCompactor, LakeMerger, lake_partition_dirs, make_applier
 
@@ -221,12 +221,12 @@ def _base_to_log(batch: pa.Table, cfg: CdcConfig) -> pa.Table:
     cols = pa.ListArray.from_arrays(
         offsets, pa.array(np.tile(np.array(payload_names, dtype=object), n), type=pa.string())
     )
+    # pruned to DECODE_INPUT_COLUMNS — the bootstrap stream unions with the
+    # column-pruned segment read, so both must carry exactly those columns
     return pa.table(
         {
             "lsn": pa.array(np.zeros(n, dtype=np.int64)),
-            "segment": pa.array(np.full(n, -1, dtype=np.int32)),
             "txn_id": pa.array(np.zeros(n, dtype=np.int64)),
-            "gtid": pa.array([None] * n, type=pa.string()),
             "op": pa.array(["INSERT"] * n, type=pa.string()),
             "schema_name": pa.array([cfg.schema_name] * n, type=pa.string()),
             "table_name": pa.array([cfg.table_name] * n, type=pa.string()),
@@ -235,9 +235,8 @@ def _base_to_log(batch: pa.Table, cfg: CdcConfig) -> pa.Table:
             "cols": cols,
             "vals": vals,
             "ddl_sql": pa.array([None] * n, type=pa.string()),
-            "execute_time": pa.array(np.full(n, EPOCH_MS, dtype=np.int64), type=pa.timestamp("ms")),
         },
-        schema=LOG_SCHEMA,
+        schema=pa.schema([LOG_SCHEMA.field(name) for name in DECODE_INPUT_COLUMNS]),
     )
 
 
@@ -547,7 +546,9 @@ class CdcJob:
             if extra:
                 log_segs = [*extra, *log_segs]
         if log_segs:
-            sources.append(ray.data.read_parquet(log_segs))
+            sources.append(
+                ray.data.read_parquet(log_segs, columns=DECODE_INPUT_COLUMNS)
+            )
         if not sources:
             for epoch, segs in cycle:
                 manifest = self._manifest(epoch, segs, schema, 0, epoch_clocks.get(epoch, 0))
@@ -810,7 +811,9 @@ class CdcJob:
             if tail_segs:
                 os.makedirs(scratch, exist_ok=True)
                 xa_rb = xa_rollback_txns(tail_segs, up_to_lsn=lsn)
-                tail = ray.data.read_parquet(tail_segs).map_batches(
+                tail = ray.data.read_parquet(
+                    tail_segs, columns=DECODE_INPUT_COLUMNS
+                ).map_batches(
                     make_decoder(
                         cfg,
                         lsn_window=(hi_star + 1, lsn),

@@ -63,9 +63,14 @@ def make_scatter_fn(frag_dir: str, codec: str = "lz4"):
         )
         if batch.num_rows == 0:
             return empty
-        idx = pc.sort_indices(batch, sort_keys=[("partition_id", "ascending")])
-        batch = batch.take(idx)
-        pids = batch["partition_id"].to_numpy()
+        pids = batch["partition_id"].to_numpy(zero_copy_only=False)
+        if len(pids) > 1 and not np.all(pids[1:] >= pids[:-1]):
+            # decode emits partition-grouped batches (zero-copy fast path);
+            # re-sort only the rare unsorted ones (DDL replicas at the tail,
+            # or blocks coalesced across decode outputs)
+            idx = pc.sort_indices(batch, sort_keys=[("partition_id", "ascending")])
+            batch = batch.take(idx)
+            pids = batch["partition_id"].to_numpy(zero_copy_only=False)
         # one record batch per partition present -> gather reads batches
         # directly by index (random access into the IPC footer)
         bounds = np.flatnonzero(np.diff(pids)) + 1
