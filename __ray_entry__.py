@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from canal_ray.ops.cdc_smoke import (
         cdc_connector_drain,
         cdc_derived_event_stats,
+        cdc_state_as_of,
         cdc_derived_lang_stats,
         cdc_replay_smoke,
         cdc_row_filter_smoke,
@@ -52,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # derived table over the REGISTERED events table replayed through the
         # full engine as a change stream — SQL-oracle-checkable end to end
         "cdc_derived_event_stats": cdc_derived_event_stats,
+        # point-in-time state_as_of(lsn) read over the same replayed
+        # stream — full SQL oracle (row_number cut + latest-per-key)
+        "cdc_state_as_of": cdc_state_as_of,
         # row-level content predicate replay (aviator EL analog),
         # in-process filtered-oracle assert on every call
         "cdc_row_filter_smoke": cdc_row_filter_smoke,  # rows-only

@@ -191,15 +191,16 @@ def cdc_derived_lang_stats(sf_dir: str) -> pd.DataFrame:
     return inc
 
 
-def cdc_derived_event_stats(sf_dir: str) -> pd.DataFrame:
-    """Derived-table path with a FULL SQL oracle: the registered ``events``
-    table is interpreted as a change stream keyed by ``user_id`` (each row an
-    upsert of that user's state, ordered by (ts, event_id) — the
-    ``cdc_latest_state_by_user`` semantics), replayed through the whole
-    engine (decode -> shuffle -> LWW sink -> checkpoints) into a lake, and an
-    incrementally maintained aggregate (``DerivedTable``) groups the LATEST
-    per-user state by event_type. Deterministic from ``events`` alone, so
-    DuckDB can express it: QUALIFY latest-per-key, then aggregate.
+def _evstream_job(sf_dir: str):
+    """Replay the registered ``events`` table as a change stream through the
+    full engine; returns ``(job, n_events)`` with the lake materialized.
+
+    Each event row is an upsert of that user's state, ordered by
+    (ts, event_id) — the ``cdc_latest_state_by_user`` semantics — so the
+    replayed lake is deterministic from ``events`` alone and DuckDB can
+    express any read over it. The fixture log and lake are cached under /tmp
+    keyed by (input identity, delta format); ``job.run()`` is a fenced no-op
+    on a complete lake.
     """
     import hashlib
 
@@ -208,7 +209,6 @@ def cdc_derived_event_stats(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     from canal_ray.config import CdcConfig
-    from canal_ray.derived import DerivedTable
     from canal_ray.loggen import LOG_SCHEMA
     from canal_ray.pipeline import CdcJob
     from canal_ray.sink import DELTA_FORMAT_VERSION
@@ -283,8 +283,21 @@ def cdc_derived_event_stats(sf_dir: str) -> pd.DataFrame:
     )
     job = CdcJob(cfg)
     job.run()  # fenced no-op when the lake is already complete
+    return job, n
+
+
+def cdc_derived_event_stats(sf_dir: str) -> pd.DataFrame:
+    """Derived-table path with a FULL SQL oracle: the ``events`` change
+    stream replayed through the whole engine (decode -> shuffle -> LWW sink
+    -> checkpoints) into a lake, and an incrementally maintained aggregate
+    (``DerivedTable``) groups the LATEST per-user state by event_type.
+    DuckDB expresses it as QUALIFY latest-per-key, then aggregate.
+    """
+    from canal_ray.derived import DerivedTable
+
+    job, _ = _evstream_job(sf_dir)
     dt = DerivedTable(
-        lake, "event_type_stats", "event_type",
+        job.cfg.lake_dir, "event_type_stats", "event_type",
         [("n_users", "count", None), ("total_value_c", "sum", "value_c")],
     )
     inc = dt.update(job)
@@ -292,6 +305,23 @@ def cdc_derived_event_stats(sf_dir: str) -> pd.DataFrame:
     if not inc.reset_index(drop=True).equals(full.reset_index(drop=True)):
         raise AssertionError("incremental derived table diverged from recompute")
     return inc[["event_type", "n_users", "total_value_c"]]
+
+
+def cdc_state_as_of(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time read with a FULL SQL oracle: the ``events`` change
+    stream replayed through the engine, then ``CdcJob.state_as_of`` rebuilds
+    the per-user state at the position 60% through the log — the DATA half
+    of the reference's ``DatabaseTableMeta.rollback(position)``
+    (``tsdb/DatabaseTableMeta.java:161-181``). The stream's lsn equals the
+    (ts, event_id) rank, so DuckDB expresses the cut as a row_number()
+    window filtered to rn <= floor(0.6 * n), then latest-per-key.
+    """
+    job, n = _evstream_job(sf_dir)
+    cut = int(n * 0.6)
+    df = job.state_as_of(cut)
+    out = df[["uid", "event_type", "value_c"]].copy()
+    out["value_c"] = out["value_c"].astype("int64")
+    return out.sort_values("uid").reset_index(drop=True)
 
 
 def cdc_connector_drain(sf_dir: str) -> pd.DataFrame:

@@ -30,6 +30,21 @@ RELATIONAL_SQL: dict[str, str] = {
                CAST(sum(value_c) AS BIGINT)    AS total_value_c
         FROM latest GROUP BY event_type
     """,
+    # point-in-time (state_as_of) read of the replayed events change stream:
+    # the stream's lsn equals the (ts, event_id) rank, so the cut at 60% of
+    # the log is a row_number window filter, then latest-per-key
+    "cdc_state_as_of": """
+        WITH ranked AS (
+            SELECT CAST(user_id AS VARCHAR) AS uid, event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS value_c,
+                   row_number() OVER (ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT uid, event_type, value_c
+        FROM ranked
+        WHERE rn <= (SELECT CAST(floor(count(*) * 0.6) AS BIGINT) FROM events)
+        QUALIFY row_number() OVER (PARTITION BY uid ORDER BY rn DESC) = 1
+    """,
     "cdc_event_type_stats": """
         SELECT event_type,
                count(*)               AS n,
