@@ -86,25 +86,49 @@ def exact_dedup(sf_dir: str, hash_fn: str = "md5") -> pd.DataFrame:
     return df
 
 
+# multipliers for the vectorized rolling shingle hash (splitmix64 / xxhash
+# odd constants — public domain mixing constants)
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _roll(h: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial combine of k consecutive element hashes (vectorized
+    Horner, wrapping uint64): the window hash of every k-window of ``h``."""
+    if len(h) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if len(h) < k:
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(len(h)):
+            acc = acc * _C1 + h[j]
+        return acc
+    W = np.lib.stride_tricks.sliding_window_view(h, k)
+    acc = np.zeros(len(W), dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _C1 + W[:, j]
+    return acc
+
+
 def _shingle_hashes(text: str, k: int = 3, mode: str = "word") -> np.ndarray:
-    """Hashed shingle set: k-token windows ('word') or char k-grams ('char')."""
-    if mode == "char":
-        if len(text) < k:
-            shingles = [text]
-        else:
-            shingles = [text[i : i + k] for i in range(len(text) - k + 1)]
-    else:
+    """Hashed shingle set: k-token windows ('word') or byte k-grams
+    ('char'), fully vectorized — element hashes once, then a rolling
+    polynomial combine instead of per-window string joins (the joins were
+    ~8ms/doc, the whole-pipeline hot spot)."""
+    with np.errstate(over="ignore"):
+        if mode == "char":
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            return np.unique(_roll(b, k))
         toks = text.split()
-        if len(toks) < k:
-            shingles = [" ".join(toks)] if toks else [""]
-        else:
-            shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(pd.util.hash_array(np.array(shingles, dtype=object)).astype(np.uint64))
+        if not toks:
+            return np.zeros(1, dtype=np.uint64)
+        hw = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+        return np.unique(_roll(hw, k))
 
 
 class MinHasher:
-    """Actor-pool stage: per-doc 64-perm minhash signature, vectorized via
-    one flattened (all-shingles x perms) matrix + segment-min reduceat."""
+    """Per-doc 64-perm minhash signature, vectorized via one flattened
+    (all-shingles x perms) matrix + segment-min reduceat. Run as a TASK-pool
+    stage (construction is two field assignments — an actor pool's startup
+    blocks the pipeline for seconds and caps the stage at the pool size)."""
 
     def __init__(self, k: int = 3, mode: str = "word"):
         self.k = k
@@ -128,7 +152,7 @@ class MinHasher:
 
 def minhash_signatures(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(lambda df: MinHasher()(df), batch_format="pandas")
     df = out.to_pandas()
     # stable scalar signature digest for comparison/storage
     df["sig_hash"] = df["sig"].map(lambda s: int(pd.util.hash_array(np.asarray(s, dtype=np.uint64))[0] & ((1 << 63) - 1)))
@@ -164,14 +188,20 @@ def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
-class PairVerifier:
-    """Actor-pool exact-Jaccard verify over candidate pairs.
+# one live PairVerifier per worker process (keyed by its construction args);
+# task-pool map_batches + Ray's worker reuse give actor-like amortization of
+# the parquet handle / blob cache without an actor pool's concurrency cap
+_VERIFIER_MEMO: dict = {}
 
-    Setup once per actor (``__init__``): open the corpus parquet and index
-    its row-group doc_id ranges. Per batch (``__call__``): read only the row
-    groups holding the batch's documents, shingle them, intersect per pair.
-    A bounded per-actor blob cache absorbs the hot docs that recur across
-    batches (band collisions are Zipf-shaped too)."""
+
+class PairVerifier:
+    """Exact-Jaccard verify over candidate pairs (stateful helper).
+
+    Setup once per worker (via ``_VERIFIER_MEMO``): open the corpus parquet
+    and index its row-group doc_id ranges. Per batch (``__call__``): read
+    only the row groups holding the batch's documents, shingle them,
+    intersect per pair. The bounded blob cache absorbs the hot docs that
+    recur across batches (band collisions are Zipf-shaped too)."""
 
     _CACHE_CAP = 65_536
 
@@ -260,7 +290,7 @@ def minhash_lsh_dup_pairs(
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(
-        MinHasher, fn_constructor_args=(k, mode), batch_format="pandas", concurrency=(2, 8)
+        lambda df: MinHasher(k, mode)(df), batch_format="pandas"
     )
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
 
@@ -272,24 +302,35 @@ def minhash_lsh_dup_pairs(
     )
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One Ray group = many band buckets (a shard); buckets resolved with
-        a pandas C-path groupby, pair enumeration only for buckets >= 2 docs.
-        Avoids Ray's per-group dispatch cost across thousands of tiny buckets."""
+        """One Ray group = many band buckets (a shard). Bucket segmentation
+        is one lexsort + boundary diff; the Python loop touches ONLY buckets
+        with >= 2 docs (true collisions — a tiny fraction), not every bucket
+        (a pandas groupby over thousands of singleton buckets was the
+        stage's hot spot)."""
+        bh = g["band_hash"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        order = np.lexsort((did, bh))
+        bh, did = bh[order], did[order]
+        # dedup (band_hash, doc_id) — same doc can land in a bucket twice
+        keep = np.ones(len(bh), dtype=bool)
+        keep[1:] = (bh[1:] != bh[:-1]) | (did[1:] != did[:-1])
+        bh, did = bh[keep], did[keep]
+        sig_arr = g["sig"].to_numpy()[order[keep]]
+        starts = np.flatnonzero(np.concatenate([[True], bh[1:] != bh[:-1]]))
+        ends = np.concatenate([starts[1:], [len(bh)]])
+        multi = (ends - starts) >= 2
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        for _, bucket in g.groupby("band_hash", sort=False):
-            bucket = bucket.drop_duplicates(subset=["doc_id"])
-            if len(bucket) < 2:
-                continue
-            bucket = bucket.sort_values("doc_id").head(max_bucket)
-            ids = bucket["doc_id"].to_numpy()
-            S = np.stack(bucket["sig"].to_numpy())
+        for s, e in zip(starts[multi], ends[multi]):
+            e = min(e, s + max_bucket)  # oversized-bucket cap (see docstring)
+            ids = did[s:e]  # already doc_id-sorted within the bucket
+            S = np.stack(sig_arr[s:e])
             a, b = np.triu_indices(len(ids), k=1)
             est = (S[a] == S[b]).mean(axis=1)
-            keep = est >= est_floor
-            if keep.any():
-                out_a.append(ids[a[keep]])
-                out_b.append(ids[b[keep]])
+            sel = est >= est_floor
+            if sel.any():
+                out_a.append(ids[a[sel]])
+                out_b.append(ids[b[sel]])
         if not out_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
@@ -325,17 +366,21 @@ def minhash_lsh_dup_pairs(
     # At 10^10 docs the same stage points at a doc-shard-bucketed shingle-
     # blob directory written once by a linear pass (the embedding block
     # layout below); the per-pair math is unchanged.
-    out = (
-        pairs_ds.map_batches(
-            PairVerifier,
-            fn_constructor_args=(
-                f"{sf_dir}/documents.parquet", k, mode, jaccard_threshold,
-            ),
-            batch_format="pandas",
-            batch_size=8192,
-            concurrency=(1, 8),
-        ).to_pandas()
-    )
+    # task-pool stage, NOT an actor pool: Ray fuses this with the band
+    # groupby's output operator, and an actor pool would cap the whole fused
+    # chain (bucket pair enumeration included) at the pool size — measured
+    # 4x worse at 32 CPUs. Worker-process reuse amortizes the verifier's
+    # parquet handle + blob cache across tasks via the module memo.
+    vargs = (f"{sf_dir}/documents.parquet", k, mode, jaccard_threshold)
+
+    def verify_batch(df: pd.DataFrame) -> pd.DataFrame:
+        v = _VERIFIER_MEMO.get(vargs)
+        if v is None:
+            _VERIFIER_MEMO.clear()  # one live verifier per worker process
+            v = _VERIFIER_MEMO[vargs] = PairVerifier(*vargs)
+        return v(df)
+
+    out = pairs_ds.map_batches(verify_batch, batch_format="pandas").to_pandas()
     if out.empty:
         return empty
     # a pair can surface from several bands (and therefore batches); verify

@@ -87,8 +87,10 @@ def test_lsh_ann_overlaps_bruteforce(ray_session):
 def test_fingerprint_stability(ray_session, planted_docs):
     from canal_ray.ops.text import doc_fingerprints
 
-    a = doc_fingerprints(planted_docs).set_index("doc_id")["fingerprint"]
-    b = doc_fingerprints(planted_docs).set_index("doc_id")["fingerprint"]
+    # sort_index: Ray Data's default preserve_order=False means to_pandas
+    # block order can differ between runs; values must still be identical
+    a = doc_fingerprints(planted_docs).set_index("doc_id")["fingerprint"].sort_index()
+    b = doc_fingerprints(planted_docs).set_index("doc_id")["fingerprint"].sort_index()
     pd.testing.assert_series_equal(a, b)  # deterministic
     for i in range(5):
         assert a[i] == a[40 + i]  # exact dups share fingerprints
