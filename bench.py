@@ -406,6 +406,15 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
+    # Keep allocator pages resident (see canal_ray/memtune.py): this box's
+    # hypervisor reclaims freed guest pages after ~10s and first-touch
+    # re-faults run at ~10-20 MB/s — allocator churn was the dominant cost
+    # of the 32-CPU legs. Exported env is inherited by run_sub children and
+    # by raylet->worker processes. CANAL_MEMTUNE=0 disables (for A/B).
+    if os.environ.get("CANAL_MEMTUNE", "1") != "0":
+        from canal_ray.memtune import apply_allocator_tunables
+
+        apply_allocator_tunables()
     if "--scaling" in sys.argv:
         scaling()
     elif "--cpu-probe" in sys.argv:

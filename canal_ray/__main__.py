@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -78,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
+        # before ray.init: workers inherit the allocator env (memtune.py)
+        if os.environ.get("CANAL_MEMTUNE", "1") != "0":
+            from canal_ray.memtune import apply_allocator_tunables
+
+            apply_allocator_tunables()
         ray.init(
             address="local",
             num_cpus=args.num_cpus,

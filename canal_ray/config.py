@@ -80,6 +80,10 @@ class CdcConfig:
     filter_dml_update: bool = False
     filter_dml_delete: bool = False
     filter_ddl: bool = False  # LogEventConvert.java:98-105 (filterQueryDdl)
+    # filterQueryDcl (LogEventConvert.java:98,383): DCL query entries
+    # (GRANT/REVOKE/...) are dropped when True; when False they are
+    # delivered to protocol clients as meta entries (no row/schema effect)
+    filter_query_dcl: bool = False
     # minimal row images present (binlog_row_image=MINIMAL analog): UPDATE
     # events may carry only the changed columns; the sink folds patches
     # column-wise instead of row-level LWW, and decode pre-compaction is

@@ -151,7 +151,9 @@ class CdcConnector:
 
             keep = pc.or_(
                 pc.invert(
-                    pc.is_in(batch["op"], value_set=_pa.array(["DDL", "TRUNCATE"]))
+                    pc.is_in(
+                        batch["op"], value_set=_pa.array(["DDL", "TRUNCATE", "DCL"])
+                    )
                 ),
                 pc.equal(batch["partition_id"], 0),
             )

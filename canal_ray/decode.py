@@ -184,6 +184,10 @@ def make_decoder(
         # through would let the one destructive event class past the filter
         drop_ops.add("DDL")
         drop_ops.add("TRUNCATE")
+    if cfg.filter_query_dcl:
+        # filterQueryDcl (LogEventConvert.java:383): DCL query entries
+        # (GRANT/REVOKE) dropped at parse; else they pass as meta entries
+        drop_ops.add("DCL")
 
     def decode(batch: pa.Table) -> pa.Table:
         """Single-copy decode: every mask is computed on the narrow columns
@@ -244,8 +248,9 @@ def make_decoder(
             keep &= ~op_mask(*drop_ops)
 
         # DDL and TRUNCATE replicate to every partition (each sink owns table
-        # shards; Canal sends them to partition 0 only — see canal_ray.partition)
-        is_ddl = op_mask("DDL", "TRUNCATE") & keep
+        # shards; Canal sends them to partition 0 only — see canal_ray.partition).
+        # Unfiltered DCL rides the same meta path (sink applies no effect).
+        is_ddl = op_mask("DDL", "TRUNCATE", "DCL") & keep
         dml_keep = keep & ~is_ddl & ~op_mask("MHEARTBEAT", "XACOMMIT", "XAROLLBACK")
         if xa_rollback is not None and len(xa_rollback) and dml_keep.any():
             # rolled-back XA transactions: their rows never commit

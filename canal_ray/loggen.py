@@ -79,6 +79,10 @@ DROP_SQL = "ALTER TABLE mytest.repos DROP COLUMN commit"
 # references `lang` so it also exercises alias resolution when combined
 # with rename_at < index_at
 INDEX_SQL = "ALTER TABLE mytest.repos ADD INDEX idx_lang (lang)"
+# optional DCL query event (LogEventConvert.java:383 — a QUERY-class entry
+# that is neither DML nor DDL; dropped when filterQueryDcl, else delivered
+# to clients as a meta entry with no row/schema effect) at dcl_at fraction
+DCL_SQL = "GRANT SELECT ON mytest.repos TO 'reader'@'%'"
 # optional TRUNCATE event (EventType.TRUNCATE) at this fraction when
 # truncate_at is passed to generate_fixture
 TRUNCATE_SQL = "TRUNCATE TABLE mytest.repos"
@@ -157,6 +161,7 @@ def generate_fixture(
     rename_at: float | None = None,
     drop_at: float | None = None,
     index_at: float | None = None,
+    dcl_at: float | None = None,
     txn_span: bool = False,
     xa_frac: float | None = None,
     force: bool = False,
@@ -181,6 +186,8 @@ def generate_fixture(
         params["drop_at"] = drop_at
     if index_at is not None:
         params["index_at"] = index_at
+    if dcl_at is not None:
+        params["dcl_at"] = dcl_at
     if txn_span:
         params["txn_span"] = True
     if xa_frac is not None:
@@ -259,6 +266,11 @@ def generate_fixture(
         truncate_lsn = max(3, int(n_events * truncate_at))
         while truncate_lsn in ddl_lsns:
             truncate_lsn += 1
+    dcl_lsn = None
+    if dcl_at is not None:
+        dcl_lsn = max(2, int(n_events * dcl_at))
+        while dcl_lsn in ddl_lsns or dcl_lsn == truncate_lsn:
+            dcl_lsn += 1
     stars_lsn = min(l for l, s in ddl_lsns.items() if "ADD COLUMN stars" in s)
     widen_lsn = min(l for l, s in ddl_lsns.items() if "MODIFY" in s)
     license_lsn = min(l for l, s in ddl_lsns.items() if "license" in s)
@@ -302,6 +314,11 @@ def generate_fixture(
             tr_mask = lsns == truncate_lsn
             ops[tr_mask] = "TRUNCATE"
             noise[tr_mask] = False
+        dcl_mask = np.zeros(n_ev, dtype=bool)
+        if dcl_lsn is not None:
+            dcl_mask = lsns == dcl_lsn
+            ops[dcl_mask] = "DCL"
+            noise[dcl_mask] = False
 
         ins_mask = (ops == "INSERT") & ~noise
         # target selection for UPDATE/DELETE: any key inserted so far
@@ -359,7 +376,7 @@ def generate_fixture(
         # key). Benign by the upsert contract — engine and oracle both treat
         # a full-image UPDATE of an absent key as an insert — and kept as-is
         # because reordering would change every cached fixture's bytes.
-        hb = (lsns % 997 == 0) & ~ddl_mask & ~noise & ~tr_mask
+        hb = (lsns % 997 == 0) & ~ddl_mask & ~noise & ~tr_mask & ~dcl_mask
         ops[hb] = "MHEARTBEAT"
 
         # XA transactions (EventType.XACOMMIT/XAROLLBACK,
@@ -378,7 +395,8 @@ def generate_fixture(
             last_idx = first_idx + counts - 1
             grp = np.searchsorted(uniq, txn_rep)
             has_meta = (
-                np.bincount(grp[ddl_mask | tr_mask | hb], minlength=len(uniq)) > 0
+                np.bincount(grp[ddl_mask | tr_mask | hb | dcl_mask], minlength=len(uniq))
+                > 0
             )
             is_xa = (rng.random(len(uniq)) < xa_frac) & ~has_meta
             rolls = rng.random(len(uniq)) < 0.4  # of XA txns, ~40% roll back
@@ -532,14 +550,14 @@ def generate_fixture(
         cols_arr = pa.ListArray.from_arrays(pa_offsets, pa.array(col_buf, type=pa.string()))
 
         table_name = np.where(noise, "audit", "repos").astype(object)
-        table_name[ddl_mask | tr_mask] = "repos"
+        table_name[ddl_mask | tr_mask | dcl_mask] = "repos"
         table_name[hb | xa_mask] = ""  # txn-scoped markers carry no table
         pk_repo = repo_arr.copy()
         pk_path = path_arr.copy()
         pk_repo[noise] = np.array([str(int(l)) for l in lsns[noise]], dtype=object)
         pk_path[noise] = "audit"
-        pk_repo[ddl_mask | hb | tr_mask | xa_mask] = None
-        pk_path[ddl_mask | hb | tr_mask | xa_mask] = None
+        pk_repo[ddl_mask | hb | tr_mask | xa_mask | dcl_mask] = None
+        pk_path[ddl_mask | hb | tr_mask | xa_mask | dcl_mask] = None
         # GTID = "server_uuid:txn" (Header.gtid, EntryProtocol.proto:32-36);
         # heartbeats are server liveness, not transaction events -> null
         gtid = np.add(
@@ -552,6 +570,8 @@ def generate_fixture(
             ddl_sql[i] = ddl_lsns[int(lsns[i])]
         for i in np.flatnonzero(tr_mask):
             ddl_sql[i] = TRUNCATE_SQL
+        for i in np.flatnonzero(dcl_mask):
+            ddl_sql[i] = DCL_SQL
 
         seg_tbl = pa.table(
             {
@@ -582,6 +602,7 @@ def generate_fixture(
         "n_inserted": int(n_inserted),
         "ddl_lsns": {str(k): v for k, v in ddl_lsns.items()},
         "truncate_lsn": truncate_lsn,
+        "dcl_lsn": dcl_lsn,
         "rename_lsn": rename_lsn,
         "drop_lsn": drop_lsn,
         "segments": [os.path.basename(s) for s in segments],

@@ -100,8 +100,8 @@ def replay_oracle(
         for row in tbl.sort_by("lsn").to_pylist():
             if up_to_lsn is not None and row["lsn"] > up_to_lsn:
                 return _finalize(state, schema)
-            if row["op"] in ("XACOMMIT", "XAROLLBACK"):
-                continue
+            if row["op"] in ("XACOMMIT", "XAROLLBACK", "DCL"):
+                continue  # txn markers / DCL query entries: no row effect
             if xa_rb and row["txn_id"] in xa_rb:
                 continue
             if row["op"] == "DDL":

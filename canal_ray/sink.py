@@ -607,7 +607,7 @@ def make_applier(
             return existing
 
         lsn_all = group["lsn"].to_numpy()
-        dml_mask = (ops != "DDL") & ~tr
+        dml_mask = (ops != "DDL") & (ops != "DCL") & ~tr
         if truncate_lsn:
             dml_mask &= lsn_all > truncate_lsn
         counts = pd.Series(ops[dml_mask]).value_counts()
@@ -907,7 +907,7 @@ def make_asof_tail_writer(
         tr = ops == "TRUNCATE"
         if tr.any():
             truncate_lsn = int(lsn_all[tr].max())
-        dml_mask = (ops != "DDL") & ~tr
+        dml_mask = (ops != "DDL") & (ops != "DCL") & ~tr
         if truncate_lsn:
             dml_mask &= lsn_all > truncate_lsn
         dml = group.filter(pa.array(dml_mask))

@@ -60,7 +60,9 @@ def ddl_history(
     if not segment_paths:
         return []
     dataset = pa_ds.dataset(segment_paths, format="parquet")
-    expr = ~pa_ds.field("ddl_sql").is_null()
+    # op filter: DCL query entries (GRANT/REVOKE) also carry a non-null
+    # ddl_sql but must never evolve schema (LogEventConvert QUERY-class)
+    expr = ~pa_ds.field("ddl_sql").is_null() & (pa_ds.field("op") != "DCL")
     if up_to_lsn is not None:
         expr = expr & (pa_ds.field("lsn") <= up_to_lsn)
     t = dataset.to_table(columns=["lsn", "ddl_sql"], filter=expr)
