@@ -82,6 +82,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": R.customers_without_orders,
         "user_running_value": R.user_running_value,
         "purchase_prev_event": R.purchase_prev_event,
+        # two-stream as-of join (trade/quote shape; DuckDB ASOF JOIN oracle)
+        "asof_purchase_last_view": R.asof_purchase_last_view,
+        # GROUP BY ROLLUP levels (leaf distributed, levels from partials)
+        "lineitem_rollup": R.lineitem_rollup,
+        # exact grouped quantiles (median/p90, quantile_cont semantics)
+        "median_value_by_type": R.median_value_by_type,
         # --- deduplication (training-data pipeline) ----------------------
         "doc_exact_dedup": D.exact_dedup,
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only

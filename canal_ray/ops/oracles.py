@@ -188,6 +188,27 @@ RELATIONAL_SQL: dict[str, str] = {
         SELECT user_id, event_id, prev_event_id, prev_event_type
         FROM w WHERE event_type = 'purchase' AND prev_event_id IS NOT NULL
     """,
+    "asof_purchase_last_view": """
+        SELECT p.event_id AS purchase_event_id,
+               p.user_id  AS user_id,
+               v.event_id AS view_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "lineitem_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "median_value_by_type": """
+        SELECT event_type,
+               round(median(value), 6)             AS median_value,
+               round(quantile_cont(value, 0.9), 6) AS p90_value
+        FROM events GROUP BY event_type
+    """,
     "doc_lang_source_counts": """
         SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang, source

@@ -576,3 +576,107 @@ def order_priority_counts(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="n")
     )
     return out.to_pandas()
+
+
+def asof_purchase_last_view(sf_dir: str) -> pd.DataFrame:
+    """As-of JOIN between two event streams: for every ``purchase`` event,
+    the same user's most recent ``view`` event with ``view.ts <= purchase.ts``
+    (the trade/quote classic; DuckDB expresses it as ``ASOF JOIN``).
+
+    Ray-Data-native: ONE pruned read of both streams, one shard-keyed
+    shuffle (``groupby(hash(user) % shards)``), then a vectorized per-shard
+    merge — sort by (user, ts), forward-fill the view ids within each user,
+    emit purchase rows. No driver-side collect; the only exchange is the
+    shard groupby, and both streams move through it together (an ASOF join
+    of two separately-shuffled tables would pay two exchanges)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "view"])))
+
+    ds = ds.map_batches(prune, batch_format="pyarrow").map_batches(
+        _with_shard("user_id"), batch_format="pandas"
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # views sort before purchases at equal ts (ASOF ts >= ts is inclusive)
+        g = g.assign(_p=g["event_type"].eq("purchase").astype("int8"))
+        g = g.sort_values(["user_id", "ts", "_p", "event_id"])
+        vid = g["event_id"].where(g["_p"].eq(0))
+        g["view_event_id"] = vid.groupby(g["user_id"], sort=False).ffill()
+        out = g[(g["_p"] == 1) & g["view_event_id"].notna()]
+        return pd.DataFrame(
+            {
+                "purchase_event_id": out["event_id"].to_numpy(),
+                "user_id": out["user_id"].to_numpy(),
+                "view_event_id": out["view_event_id"].astype("int64").to_numpy(),
+            }
+        )
+
+    return ds.groupby("_shard").map_groups(per_shard, batch_format="pandas").to_pandas()
+
+
+def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (returnflag, linestatus): leaf groups, per-returnflag
+    subtotals, and the grand total in one result (NULL group levels).
+
+    Ray computes ONLY the leaf aggregate distributed (one exchange); the
+    rollup levels re-aggregate the tiny leaf table driver-side (|leaves| =
+    |RF x LS| ~ 6 rows — re-aggregating partials, never raw data)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    leaf = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="_sq"))
+        .to_pandas()
+    )
+    mid = (
+        leaf.groupby("l_returnflag", as_index=False)
+        .agg(n=("n", "sum"), _sq=("_sq", "sum"))
+        .assign(l_linestatus=None)
+    )
+    top = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "n": [leaf["n"].sum()],
+            "_sq": [leaf["_sq"].sum()],
+        }
+    )
+    out = pd.concat([leaf, mid, top], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "n", "_sq"]
+    ]
+    out["sum_qty"] = out["_sq"].round(2)
+    out = out.drop(columns=["_sq"])
+    out["n"] = out["n"].astype("int64")
+    # object-None group levels (matches DuckDB VARCHAR NULL -> None in .df())
+    out["l_returnflag"] = out["l_returnflag"].astype(object).where(out["l_returnflag"].notna(), None)
+    out["l_linestatus"] = out["l_linestatus"].astype(object).where(out["l_linestatus"].notna(), None)
+    return out
+
+
+def median_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped median + p90 (interpolated, quantile_cont semantics).
+
+    Exact quantiles need every value of a group in one place: one exchange
+    on event_type, np.quantile per group. |group| values must fit a worker
+    (fine up to ~10^8 doubles/group); beyond that the scale path is a
+    t-digest/KLL sketch partial-merged inside map_batches — documented
+    trade-off, not silently approximated here."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [round(float(np.quantile(v, 0.5, method="linear")), 6)],
+                "p90_value": [round(float(np.quantile(v, 0.9, method="linear")), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(per_group, batch_format="pandas").to_pandas()

@@ -73,6 +73,9 @@ def assert_parity(ray_df, sql: str):
         "customers_without_orders",
         "user_running_value",
         "purchase_prev_event",
+        "asof_purchase_last_view",
+        "lineitem_rollup",
+        "median_value_by_type",
         "doc_exact_dedup",
         "doc_token_stats",
         "doc_quality_flags",
