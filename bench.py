@@ -355,13 +355,22 @@ def scaling() -> None:
     """Same job, two fresh processes, 8 vs 32 CPUs -> scaling efficiency,
     plus the machine's pure-CPU scaling ceiling for calibration."""
 
-    # two trials per level, best-of (hypervisor/turbo variance is +-15% on
-    # this box; min is the least-noisy estimate of machine capability)
-    trials = {
-        ncpu: [run_sub([], ncpu) for _ in range(2)] for ncpu in (8, 32)
-    }
+    # INTERLEAVED trials, best-of: this box's deliverable memory/fault
+    # throughput swings >5x over tens of minutes (hypervisor neighbors), so
+    # running all 8-CPU trials then all 32-CPU trials would let a slow
+    # window land entirely on one leg and fabricate (or destroy) the
+    # efficiency number. Alternating 8,32,8,32 exposes both legs to the
+    # same windows; best-of-N then estimates machine capability per leg.
+    # Legs run --cdc-only (the replay IS the scaling metric): shorter trials
+    # fit more repetitions inside one comparable noise window, and the query
+    # suite's timings are recorded separately by the main bench run anyway.
+    n_trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    trials: dict[int, list] = {8: [], 32: []}
+    for _ in range(n_trials):
+        for ncpu in (8, 32):
+            trials[ncpu].append(run_sub(["--cdc-only"], ncpu))
     results = {
-        ncpu: min(rs, key=lambda r: r["cdc"]["sec"]) for ncpu, rs in trials.items()
+        ncpu: min(rs, key=lambda r: r["sec"]) for ncpu, rs in trials.items()
     }
     probes = {
         ncpu: min(
@@ -377,8 +386,8 @@ def scaling() -> None:
         )
         for ncpu in (8, 32)
     }
-    t8 = results[8]["cdc"]["sec"]
-    t32 = results[32]["cdc"]["sec"]
+    t8 = results[8]["sec"]
+    t32 = results[32]["sec"]
     eff = (t8 / t32) / (32 / 8)
     machine_eff = (probes[8]["probe_sec"] / probes[32]["probe_sec"]) / (32 / 8)
     # bandwidth probe does num_cpus units of work: throughput = cpus/wall
@@ -391,15 +400,16 @@ def scaling() -> None:
                 "metric": "cdc_replay_scaling",
                 "sec_8": t8,
                 "sec_32": t32,
-                "events_per_sec_8": results[8]["cdc"]["events_per_sec"],
-                "events_per_sec_32": results[32]["cdc"]["events_per_sec"],
+                "events_per_sec_8": results[8]["events_per_sec"],
+                "events_per_sec_32": results[32]["events_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "machine_ceiling_efficiency": round(machine_eff, 3),
                 "bandwidth_ceiling_efficiency": round(bw_eff, 3),
                 "normalized_efficiency": round(eff / machine_eff, 3),
                 "normalized_vs_bandwidth": round(eff / bw_eff, 3),
-                "suite_sec_8": results[8]["value"],
-                "suite_sec_32": results[32]["value"],
+                "all_trials": {
+                    str(n): [r["sec"] for r in rs] for n, rs in trials.items()
+                },
             }
         )
     )

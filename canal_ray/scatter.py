@@ -42,6 +42,36 @@ import pyarrow.ipc as pipc
 
 from canal_ray.config import CdcConfig
 
+# Wire-format byte diet: these decode columns are massively repetitive (op
+# has ~4 distinct values; pk_repo/pk_path follow the hot-repo skew), so the
+# fragments carry them dictionary-encoded — indices per row, the string pool
+# once per fragment (all slices of one scatter batch share one dictionary,
+# which the IPC *file* format writes exactly once). Gather casts back to
+# plain utf8 before the apply, so the delta/checkpoint format is unchanged.
+# Reference analog: the slim store event accounting (store/model/Event.java).
+_DICT_COLS = ("op", "pk_repo", "pk_path")
+
+
+def _dict_encode(batch: pa.Table) -> pa.Table:
+    for name in _DICT_COLS:
+        i = batch.schema.get_field_index(name)
+        if i < 0 or pa.types.is_dictionary(batch.schema.field(i).type):
+            continue
+        enc = pc.dictionary_encode(batch.column(i).combine_chunks())
+        batch = batch.set_column(i, pa.field(name, enc.type), enc)
+    return batch
+
+
+def _dict_decode(group: pa.Table) -> pa.Table:
+    for name in _DICT_COLS:
+        i = group.schema.get_field_index(name)
+        if i < 0 or not pa.types.is_dictionary(group.schema.field(i).type):
+            continue
+        plain = pc.cast(group.column(i), pa.string())
+        group = group.set_column(i, pa.field(name, pa.string()), plain)
+    return group
+
+
 def make_scatter_fn(frag_dir: str, codec: str = "lz4"):
     """Build the map_batches scatter function (plain task, not an actor —
     no state to amortize; the closure only carries the fragment dir).
@@ -77,6 +107,7 @@ def make_scatter_fn(frag_dir: str, codec: str = "lz4"):
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(pids)]])
 
+        batch = _dict_encode(batch)
         name = f"frag_{uuid.uuid4().hex}.arrow"
         final = os.path.join(frag_dir, name)
         fd, tmp = tempfile.mkstemp(dir=frag_dir, prefix=".tmp_", suffix=".arrow")
@@ -129,7 +160,7 @@ def _gather_partition(
                 tables.append(pa.Table.from_batches([reader.get_batch(bi)]))
     if not tables:
         return []
-    group = pa.concat_tables(tables)
+    group = _dict_decode(pa.concat_tables(tables))
     _t1 = _time.perf_counter()
     applier = make_applier(cfg, epoch_ranges, start_schema_json)
     out = applier(group).to_pylist()
