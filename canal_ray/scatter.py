@@ -42,14 +42,20 @@ import pyarrow.ipc as pipc
 
 from canal_ray.config import CdcConfig
 
-# Wire-format byte diet: these decode columns are massively repetitive (op
-# has ~4 distinct values; pk_repo/pk_path follow the hot-repo skew), so the
-# fragments carry them dictionary-encoded — indices per row, the string pool
-# once per fragment (all slices of one scatter batch share one dictionary,
-# which the IPC *file* format writes exactly once). Gather casts back to
-# plain utf8 before the apply, so the delta/checkpoint format is unchanged.
+# Wire-format byte diet: `op` has ~6 distinct values, so fragments carry it
+# dictionary-encoded — small int indices per row, the string pool once per
+# fragment. Gather casts back to plain utf8 before the apply, so the
+# delta/checkpoint format is unchanged.
+#
+# ONLY bounded-cardinality columns may go here. Each gather task reads ONE
+# record batch (its partition's slice) per fragment, but the IPC file-level
+# dictionary covers the WHOLE fragment — so a dictionary column costs every
+# one of the P partition gathers the full fragment-wide string pool. For
+# `op` that pool is ~6 strings (free); for high-cardinality keys like
+# pk_path (unique per row key) it is the entire column, a ~P× read
+# amplification that measured 6.6× slower end-to-end at 32 CPUs.
 # Reference analog: the slim store event accounting (store/model/Event.java).
-_DICT_COLS = ("op", "pk_repo", "pk_path")
+_DICT_COLS = ("op",)
 
 
 def _dict_encode(batch: pa.Table) -> pa.Table:
