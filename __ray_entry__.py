@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only
         "doc_minhash_dedup_keep": D.minhash_dedup_keep,  # rows-only
         "doc_ngram_jaccard_pairs": D.ngram_jaccard_pairs,  # rows-only
+        # exact all-pairs word-trigram Jaccard (SQL-oracle-checkable)
+        "doc_jaccard_exact_pairs": D.ngram_jaccard_exact_pairs,
         "doc_simhash": D.simhash_docs,  # oracle-backed (md5 token hash)
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         # --- text analysis ----------------------------------------------

@@ -401,6 +401,132 @@ def ngram_jaccard_pairs(
     return minhash_lsh_dup_pairs(sf_dir, jaccard_threshold, k=n, mode="char")
 
 
+def _full_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct hashes of the FULL k-token windows only (no partial window
+    for short docs — matches the SQL oracle, where a doc with < k tokens has
+    an empty shingle set and therefore can never pair)."""
+    toks = text.split()
+    if len(toks) < k:
+        return np.array([], dtype=np.uint64)
+    hw = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        W = np.lib.stride_tricks.sliding_window_view(hw, k)
+        acc = np.zeros(len(W), dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _C1 + W[:, j]
+    return np.unique(acc)
+
+
+def ngram_jaccard_exact_pairs(
+    sf_dir: str, k: int = 3, jaccard_threshold: float = 0.5, n_shards: int = 64
+) -> pd.DataFrame:
+    """EXACT all-pairs word k-gram Jaccard (SQL-oracle-checkable, unlike the
+    LSH-candidate variant whose recall is probabilistic).
+
+    Distributed as the SQL plan itself, pre-aggregated at every step:
+      1. map_batches: explode each doc to (shingle_hash, doc_id, n_sh) rows —
+         n_sh rides on every row so no separate sizes join is needed;
+      2. groupby(shingle-shard).map_groups: inside one shard, bucket-segment
+         by shingle (one lexsort), enumerate co-occurring doc pairs per
+         bucket, and LOCALLY sum duplicate pairs (partial intersection
+         counts) before the second shuffle;
+      3. groupby(pair-shard).map_groups: sum partial counts to the true
+         intersection, jaccard = c / (n_a + n_b - c), filter >= threshold.
+
+    Work is quadratic in the size of hot shingle buckets — inherent to the
+    exact contract (the DuckDB oracle pays the same join). At corpus scale
+    the LSH pipeline above is the real path; this is the oracle-grade op.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        per_doc = [_full_shingle_hashes(t, k) for t in b["text"].tolist()]
+        lens = np.array([len(s) for s in per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"sh": pd.Series([], dtype="uint64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "n_sh": pd.Series([], dtype="int64"),
+                 "_shard": pd.Series([], dtype="int64")}
+            )
+        sh = np.concatenate([s for s in per_doc if len(s)])
+        doc = np.repeat(b["doc_id"].to_numpy().astype(np.int64), lens)
+        n_sh = np.repeat(lens, lens)
+        return pd.DataFrame(
+            {"sh": sh, "doc_id": doc, "n_sh": n_sh,
+             "_shard": (sh % np.uint64(n_shards)).astype(np.int64)}
+        )
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+
+    def shard_partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        nsh = g["n_sh"].to_numpy()
+        order = np.lexsort((did, sh))
+        sh, did, nsh = sh[order], did[order], nsh[order]
+        starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+        ends = np.concatenate([starts[1:], [len(sh)]])
+        out = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            out.append(
+                pd.DataFrame(
+                    {"doc_a": did[s + a], "doc_b": did[s + b],
+                     "n_a": nsh[s + a], "n_b": nsh[s + b]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "n_a": pd.Series([], dtype="int64"),
+                 "n_b": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        p = pd.concat(out, ignore_index=True)
+        # local partial aggregation: one row per pair per shard
+        agg = (
+            p.groupby(["doc_a", "doc_b", "n_a", "n_b"], sort=False)
+            .size().rename("c").reset_index()
+        )
+        agg["_pshard"] = (
+            pd.util.hash_pandas_object(agg[["doc_a", "doc_b"]], index=False).to_numpy()
+            % n_shards
+        ).astype("int64")
+        return agg
+
+    partials = rows.groupby("_shard").map_groups(
+        shard_partial_counts, batch_format="pandas"
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["doc_a", "doc_b", "n_a", "n_b"], sort=False)["c"]
+            .sum().reset_index()
+        )
+        c = agg["c"].to_numpy(dtype=np.float64)
+        union = agg["n_a"].to_numpy() + agg["n_b"].to_numpy() - c
+        jac = np.round(c / union, 6)
+        keep = jac >= jaccard_threshold
+        return pd.DataFrame(
+            {"doc_a": agg["doc_a"].to_numpy()[keep].astype("int64"),
+             "doc_b": agg["doc_b"].to_numpy()[keep].astype("int64"),
+             "jaccard": jac[keep]}
+        )
+
+    out = partials.groupby("_pshard").map_groups(finalize, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def minhash_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
     """Connected-component dedup over verified near-dup pairs: each doc maps
     to its cluster representative (min doc_id). Union-find on the driver is

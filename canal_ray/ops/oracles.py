@@ -246,6 +246,36 @@ TRAINING_SQL: dict[str, str] = {
         SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS n_dups
         FROM documents GROUP BY text
     """,
+    # exact all-pairs word-trigram Jaccard: whitespace tokens (Python
+    # str.split ~ '\s+' with empties dropped), DISTINCT full 3-windows,
+    # pairwise |A∩B| / |A∪B| >= 0.5 — byte-matches ngram_jaccard_exact_pairs
+    "doc_jaccard_exact_pairs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(w) - 2, 0))) AS i) g
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """,
     # token hash on both sides = first 16 hex chars of md5 as UBIGINT
     # (ops.text._tok_hashes): makes simhash / fingerprints / lang-id exactly
     # SQL-expressible instead of rows-only

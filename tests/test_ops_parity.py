@@ -77,6 +77,7 @@ def assert_parity(ray_df, sql: str):
         "lineitem_rollup",
         "median_value_by_type",
         "doc_exact_dedup",
+        "doc_jaccard_exact_pairs",
         "doc_token_stats",
         "doc_quality_flags",
         "doc_simhash",
