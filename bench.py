@@ -23,7 +23,9 @@ import subprocess
 import sys
 import time
 
-BENCH_ROOT = "/tmp/canal_ray_bench"
+# overridable so A/B comparisons across code versions (whose fixture params
+# may differ) can pin separate roots instead of thrashing one shared cache
+BENCH_ROOT = os.environ.get("CANAL_BENCH_ROOT", "/tmp/canal_ray_bench")
 # bench-scale fixture (cached across runs; regenerated only if params change)
 FIXTURE_PARAMS = dict(
     n_base=400_000,

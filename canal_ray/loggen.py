@@ -198,13 +198,22 @@ def generate_fixture(
     if not force and os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
-        if old.get("params") == params:
+        if old.get("params") == params and all(
+            os.path.exists(os.path.join(out_dir, "binlog", s))
+            for s in old.get("segments", [])
+        ):
             return old
     # regenerating with DIFFERENT params: stale segments from a previous
     # (e.g. larger n_segments) generation would survive the rewrite and be
-    # picked up by sorted-listdir readers — wipe the binlog dir first
+    # picked up by sorted-listdir readers — wipe the binlog dir first.
+    # The stale META must go first: meta is the completion marker (written
+    # last, below), so a generator killed mid-write must leave NO meta —
+    # otherwise the next caller sees matching params over a partial segment
+    # set and silently replays a truncated fixture.
     import shutil as _shutil
 
+    if os.path.exists(meta_path):
+        os.unlink(meta_path)
     _shutil.rmtree(os.path.join(out_dir, "binlog"), ignore_errors=True)
 
     rng = np.random.default_rng(seed)
