@@ -418,12 +418,14 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
-    # Keep allocator pages resident (see canal_ray/memtune.py): this box's
-    # hypervisor reclaims freed guest pages after ~10s and first-touch
-    # re-faults run at ~10-20 MB/s — allocator churn was the dominant cost
-    # of the 32-CPU legs. Exported env is inherited by run_sub children and
-    # by raylet->worker processes. CANAL_MEMTUNE=0 disables (for A/B).
-    if os.environ.get("CANAL_MEMTUNE", "1") != "0":
+    # Allocator tunables are OPT-IN (CANAL_MEMTUNE=1) and off by default:
+    # an interleaved A/B on the full 24.4M-event replay measured the
+    # tunables 11x SLOWER at 32-way concurrency (297.6s vs 26.9s in the
+    # same noise window) — pinning every worker's heap at its high-water
+    # mark multiplies aggregate RSS by the worker count and self-inflicts
+    # the very hypervisor reclaim pressure it tried to dodge. See
+    # canal_ray/memtune.py for the full measurement record.
+    if os.environ.get("CANAL_MEMTUNE", "0") == "1":
         from canal_ray.memtune import apply_allocator_tunables
 
         apply_allocator_tunables()

@@ -79,8 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        # before ray.init: workers inherit the allocator env (memtune.py)
-        if os.environ.get("CANAL_MEMTUNE", "1") != "0":
+        # before ray.init: workers inherit the allocator env (memtune.py).
+        # OPT-IN only — measured 11x slower at 32-way (see memtune.py)
+        if os.environ.get("CANAL_MEMTUNE", "0") == "1":
             from canal_ray.memtune import apply_allocator_tunables
 
             apply_allocator_tunables()

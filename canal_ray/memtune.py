@@ -1,5 +1,22 @@
 """Allocator tuning for balloon-reclaimed (virtualized) memory.
 
+STATUS: OPT-IN ONLY (CANAL_MEMTUNE=1) — measured HARMFUL at scale.
+An interleaved A/B on the full 24.4M-event replay (same noise window,
+clean fixtures) measured:
+
+    32 CPUs, tunables OFF:  26.9 s  (907k events/s)
+    32 CPUs, tunables ON:  297.6 s  ( 82k events/s)   -- 11x slower
+
+Root cause of the backfire: pinning every worker's heap at its high-water
+mark (trim disabled, 1 GiB mmap threshold) multiplies aggregate RSS by the
+worker count. At 32-way the fleet's retained heaps exceed what the
+hypervisor keeps cheaply resident, re-creating the reclaim pressure the
+tunables were meant to dodge — now on anonymous heap pages that can't be
+dropped like page cache. The per-process fault measurements below remain
+true; the fleet-level conclusion inverts them. Kept as an opt-in probe.
+
+Original rationale (single-process measurements):
+
 On this sandbox's hypervisor, guest pages returned to the kernel (munmap /
 malloc_trim / allocator decay) are reclaimed by the host after ~10s idle and
 the next first-touch faults them back at only ~10-20 MB/s per process
