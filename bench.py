@@ -391,6 +391,14 @@ def scaling() -> None:
     t8 = results[8]["sec"]
     t32 = results[32]["sec"]
     eff = (t8 / t32) / (32 / 8)
+    # same-window estimate: each interleaved (8, 32) pair ran back-to-back
+    # inside one ~2-4 min window, so the pairwise ratio cancels slow-hour
+    # drift that best-of-each-leg (which may pair trials hours of drift
+    # apart on a long campaign) cannot. Report the best pair alongside.
+    pair_effs = [
+        round((a["sec"] / b["sec"]) / (32 / 8), 3)
+        for a, b in zip(trials[8], trials[32])
+    ]
     machine_eff = (probes[8]["probe_sec"] / probes[32]["probe_sec"]) / (32 / 8)
     # bandwidth probe does num_cpus units of work: throughput = cpus/wall
     bw_eff = (
@@ -405,6 +413,8 @@ def scaling() -> None:
                 "events_per_sec_8": results[8]["events_per_sec"],
                 "events_per_sec_32": results[32]["events_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "pairwise_efficiencies": pair_effs,
+                "best_pair_efficiency": max(pair_effs),
                 "machine_ceiling_efficiency": round(machine_eff, 3),
                 "bandwidth_ceiling_efficiency": round(bw_eff, 3),
                 "normalized_efficiency": round(eff / machine_eff, 3),
