@@ -25,6 +25,23 @@ def test_fixture_deterministic(tmp_path):
     assert m2["params"] == ma["params"]
 
 
+def test_fixture_regen_crash_consistency(tmp_path):
+    """A generator killed mid-write must not leave a reusable cache: meta is
+    the completion marker (deleted before the binlog wipe), and a cache hit
+    validates every listed segment exists — a stale meta over a partial
+    segment set regenerates instead of silently replaying a truncated log."""
+    d = str(tmp_path / "fx")
+    m = generate_fixture(d, n_base=200, n_events=2_000, n_segments=4, seed=3)
+    # simulate the killed-mid-generation state: meta present, a segment gone
+    os.unlink(os.path.join(d, "binlog", m["segments"][-1]))
+    m2 = generate_fixture(d, n_base=200, n_events=2_000, n_segments=4, seed=3)
+    assert all(
+        os.path.exists(os.path.join(d, "binlog", s)) for s in m2["segments"]
+    )
+    # the regenerated log is the same deterministic content
+    assert m2["last_lsn"] == m["last_lsn"]
+
+
 def test_log_schema_and_order(t1_fixture):
     d, meta = t1_fixture
     seen_lsn = 0
