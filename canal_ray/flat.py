@@ -13,8 +13,6 @@ in the exact shape Canal's Kafka/RocketMQ consumers receive.
 
 from __future__ import annotations
 
-import json
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -36,22 +34,65 @@ FLAT_SCHEMA = pa.schema(
 )
 
 
+def _json_records(frame) -> np.ndarray:
+    """DataFrame -> one compact JSON object string per row (C serializer)."""
+    txt = frame.to_json(orient="records", lines=True, force_ascii=False)
+    return np.array(txt.rstrip("\n").split("\n"), dtype=object)
+
+
 def to_flat_messages(batch: pa.Table) -> pa.Table:
-    """Vectorized log-format -> FlatMessage-format conversion."""
+    """Vectorized log-format -> FlatMessage-format conversion.
+
+    The ``data``/``old`` JSON objects are built with pandas' C serializer —
+    one ``to_json`` call per distinct column set (column sets change only at
+    schema epochs, so a batch has a handful) instead of ``json.dumps`` per
+    row. Output is compact JSON with sorted keys, matching the reference's
+    FastJSON producer (``MQMessageUtils.messageConverter``) more closely
+    than pretty-separated ``json.dumps`` did.
+    """
+    import pandas as pd
+
     n = batch.num_rows
     ops = batch["op"].to_numpy(zero_copy_only=False)
-    cols = batch["cols"].to_pylist()
-    vals = batch["vals"].to_pylist()
+    col_list = batch["cols"].combine_chunks()
+    cols = col_list.to_pylist()
+    vals_list = batch["vals"].combine_chunks()
+    flat_vals = vals_list.values
+    val_off = vals_list.offsets.to_numpy()
     pk_repo = batch["pk_repo"].to_numpy(zero_copy_only=False)
     pk_path = batch["pk_path"].to_numpy(zero_copy_only=False)
 
     data = np.full(n, None, dtype=object)
     old = np.full(n, None, dtype=object)
-    for i in range(n):
-        if ops[i] in ("INSERT", "UPDATE") and cols[i] is not None:
-            data[i] = json.dumps(dict(zip(cols[i], vals[i])), sort_keys=True)
-        if ops[i] in ("UPDATE", "DELETE"):
-            old[i] = json.dumps({"repo": pk_repo[i], "path": pk_path[i]}, sort_keys=True)
+
+    # --- data: group rows by their column set (changes only at schema
+    # epochs), gather each group's values with one Arrow take, serialize the
+    # whole group with one C to_json call
+    groups: dict[tuple, list[int]] = {}
+    dml = (ops == "INSERT") | (ops == "UPDATE")
+    for i in np.flatnonzero(dml):
+        if cols[i] is not None:
+            groups.setdefault(tuple(cols[i]), []).append(i)
+    for key_tuple, idx_list in groups.items():
+        idxs = np.asarray(idx_list, dtype=np.int64)
+        order = np.argsort(np.asarray(key_tuple, dtype=object), kind="stable")
+        take_ix = (val_off[idxs][:, None] + order[None, :]).ravel()
+        taken = (
+            flat_vals.take(pa.array(take_ix))
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(idxs), len(order))
+        )
+        frame = pd.DataFrame(
+            {key_tuple[j]: taken[:, k] for k, j in enumerate(order)}
+        )
+        data[idxs] = _json_records(frame)
+
+    # --- old: pk-only pre-image for UPDATE/DELETE (sorted keys: path, repo)
+    ud = np.flatnonzero((ops == "UPDATE") | (ops == "DELETE"))
+    if len(ud):
+        old[ud] = _json_records(
+            pd.DataFrame({"path": pk_path[ud], "repo": pk_repo[ud]})
+        )
 
     es = pc.cast(pc.cast(batch["execute_time"], pa.int64()), pa.int64())
     pk_names = pa.array([["repo", "path"]] * n, type=pa.list_(pa.string()))

@@ -111,13 +111,46 @@ def test_flat_message_conversion():
             },
         ]
     )
+    import json
+
     flat = to_flat_messages(batch).to_pylist()
     ins, dele, ddl = flat
-    assert ins["type"] == "INSERT" and '"repo": "o/r"' in ins["data"]
+    assert ins["type"] == "INSERT"
+    assert json.loads(ins["data"]) == {"repo": "o/r", "path": "p"}
+    # keys are sorted in the serialized object (FastJSON producer contract)
+    assert list(json.loads(ins["data"])) == ["path", "repo"]
     assert ins["pkNames"] == ["repo", "path"] and not ins["isDdl"]
-    assert dele["data"] is None and '"path": "p2"' in dele["old"]
+    assert dele["data"] is None and json.loads(dele["old"])["path"] == "p2"
     assert ddl["isDdl"] and "ADD COLUMN" in ddl["sql"]
     assert ins["es"] == EPOCH_MS
+
+
+def test_flat_message_parity_with_per_row_dumps():
+    """The grouped C-serializer path must agree (parsed-value equality) with
+    the obvious per-row json.dumps construction, across mixed column sets,
+    embedded quotes/backslashes/newlines, and null values."""
+    import json
+
+    rows = [
+        {"lsn": 1, "op": "INSERT", "cols": ["repo", "path"], "vals": ['o"r', "p\\q"]},
+        {"lsn": 2, "op": "UPDATE", "cols": ["repo", "path", "stars"],
+         "vals": ["a/b\nc", "p2", None], "pk_repo": 'o"x', "pk_path": "p\t2"},
+        {"lsn": 3, "op": "DELETE", "pk_repo": "o3", "pk_path": "p3"},
+        {"lsn": 4, "op": "INSERT", "cols": ["repo", "path"], "vals": ["x", "y"]},
+    ]
+    flat = to_flat_messages(_mk_batch(rows)).to_pylist()
+    for r, f in zip(rows, flat):
+        if r["op"] in ("INSERT", "UPDATE"):
+            want = dict(zip(r["cols"], r["vals"]))
+            assert json.loads(f["data"]) == json.loads(
+                json.dumps(want, sort_keys=True)
+            )
+        else:
+            assert f["data"] is None
+        if r["op"] in ("UPDATE", "DELETE"):
+            assert json.loads(f["old"]) == {
+                "repo": r.get("pk_repo"), "path": r.get("pk_path")
+            }
 
 
 def test_produce_flat_json(ray_session, tmp_path):
