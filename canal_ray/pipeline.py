@@ -79,6 +79,20 @@ def _segment_stats(path: str) -> tuple[int, int, int]:
     return min(los), max(his), max(clocks)
 
 
+def _pmap(fn, items, max_workers: int = 16) -> list:
+    """Order-preserving parallel map for driver-side parquet METADATA/tail
+    reads (pyarrow releases the GIL on file IO). At bench scale (48
+    segments) this is noise; at 10^10-event scale (thousands of segments)
+    a sequential footer loop on the driver becomes the cycle bottleneck."""
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as ex:
+        return list(ex.map(fn, items))
+
+
 def _first_txn(path: str) -> int:
     """txn_id of a segment's first event (one tiny row-group column read)."""
     import pyarrow.parquet as pq
@@ -131,8 +145,7 @@ def xa_rollback_txns(paths: list[str], up_to_lsn: int | None = None) -> np.ndarr
     import pyarrow.parquet as pq
 
     candidates: list[tuple[str, list[int]]] = []
-    for path in paths:
-        md = pq.read_metadata(path)
+    for path, md in zip(paths, _pmap(pq.read_metadata, paths)):
         schema = md.schema.to_arrow_schema()
         op_idx = schema.get_field_index("op")
         if op_idx < 0:
@@ -314,11 +327,38 @@ class CdcJob:
         # acked RESIDUAL epochs (held-txn flushes; empty segment lists) stay
         # in the chain: their pinned lsn_hi advances the cut past the carry,
         # otherwise every re-run would mint a fresh residual epoch forever
+        manifests: dict[int, dict | None] = {
+            e: self.store.read_epoch(e) for e, _ in plan if e > 0
+        }
         eps = [
             (e, segs)
             for e, segs in plan
-            if e > 0 and (segs or self.store.read_epoch(e) is not None)
+            if e > 0 and (segs or manifests[e] is not None)
         ]
+        # prewarm the stats cache and the boundary tail reads in PARALLEL —
+        # these are all independent footer / one-row-group reads, and the
+        # sequential fold below only combines their results
+        missing = [
+            s
+            for s in dict.fromkeys(s for _, segs in eps for s in segs)
+            if s not in self._seg_stats_cache
+        ]
+        for p, st in zip(missing, _pmap(_segment_stats, missing)):
+            self._seg_stats_cache[p] = st
+
+        _EOF = "eof"  # boundary not applicable: final epoch, no hold-back
+
+        def _boundary(i: int):
+            e, segs = eps[i]
+            if manifests[e] is not None:
+                return _EOF  # unused; manifest cut wins in the fold
+            if i + 1 < len(eps):
+                return _txn_cut(segs, _first_txn(eps[i + 1][1][0]))
+            if self._hold_trailing:
+                return _txn_cut(segs, _last_txn(segs[-1]))
+            return _EOF
+
+        raw_cuts = _pmap(_boundary, range(len(eps)))
         cuts: dict[int, tuple[int, int]] = {}
         overlap: dict[int, list[str]] = {}
         prev_hi = 0
@@ -328,27 +368,23 @@ class CdcJob:
         # each epoch's overlap is the whole carry, not just the last file
         carry: list[tuple[str, int]] = []  # (path, stats_max_lsn)
         for i, (e, segs) in enumerate(eps):
-            manifest = self.store.read_epoch(e)
+            manifest = manifests[e]
             his = [self._seg_stats(s)[1] for s in segs] or [0]
             if manifest is not None:
                 # acked: reuse the cut that run actually used (segment-aligned
                 # max for epochs acked before txn alignment was enabled)
                 hi = int(manifest.get("lsn_hi", max(his)))
-            elif i + 1 < len(eps):
-                hi = _txn_cut(segs, _first_txn(eps[i + 1][1][0]))
-                if hi is None:  # whole epoch inside one spanning txn
-                    hi = prev_hi
-            elif self._hold_trailing:
-                # tail mode: the log's trailing txn may CONTINUE in segments
-                # arriving next poll — acking through EOF would split it at
-                # the poll boundary. Hold the trailing txn back; the carry
-                # mechanism delivers it once it completes (or a final batch
-                # run() flushes it at true end-of-stream).
-                hi = _txn_cut(segs, _last_txn(segs[-1]))
-                if hi is None:
-                    hi = prev_hi
-            else:
+            elif raw_cuts[i] is _EOF:
+                # final epoch, no hold-back: a finished log's EOF IS the end
+                # of the stream (tail mode instead holds the trailing txn —
+                # it may continue in segments arriving next poll, and an ack
+                # must never split it at the poll boundary; the carry
+                # mechanism delivers it once it completes)
                 hi = max(his)
+            elif raw_cuts[i] is None:  # whole epoch inside one spanning txn
+                hi = prev_hi
+            else:
+                hi = int(raw_cuts[i])
             lo = prev_hi + 1
             cuts[e] = (lo, hi)
             overlap[e] = [p for p, mx in carry if mx >= lo]
