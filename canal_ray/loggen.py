@@ -176,7 +176,7 @@ def generate_fixture(
         n_base=n_base, n_events=n_events, n_segments=n_segments, seed=seed,
         zipf_s=zipf_s, content_scale=content_scale, p_insert=p_insert,
         p_update=p_update, p_noise=p_noise, hot_frac=hot_frac,
-        truncate_at=truncate_at, p_partial=p_partial, version=6,
+        truncate_at=truncate_at, p_partial=p_partial, version=7,
     )
     # opt-in keys only when set: default param dicts (and therefore cached
     # fixtures and their digests) stay byte-identical to earlier versions
@@ -246,7 +246,17 @@ def generate_fixture(
             "content": pa.array(base_content, type=pa.string()),
         }
     )
-    pq.write_table(base_tbl, os.path.join(out_dir, "base", "repos.parquet"))
+    pq.write_table(
+        base_tbl,
+        os.path.join(out_dir, "base", "repos.parquet"),
+        # same wire-format rationale as the segments below: near-unique
+        # payload columns (content/path/commit) skip parquet dictionary
+        # encoding (index indirection ~2x the read CPU for no byte win);
+        # zstd-1 halves bytes vs snappy at equal decode CPU
+        compression="zstd",
+        compression_level=1,
+        use_dictionary=["repo", "lang"],
+    )
 
     # ---- DDL schedule at absolute LSNs ----------------------------------
     ddl_lsns = {}
@@ -601,7 +611,21 @@ def generate_fixture(
             schema=LOG_SCHEMA,
         )
         seg_path = os.path.join(out_dir, "binlog", f"segment_{seg:05d}.parquet")
-        pq.write_table(seg_tbl, seg_path, row_group_size=64 * 1024)
+        # Wire-format byte diet at the SOURCE (the replay's dominant read
+        # cost, measured: dict-decode of the near-unique `vals`/`pk_path`
+        # columns is ~2x the whole segment's read CPU; zstd-1 halves the
+        # bytes vs snappy at equal decode CPU). Dictionary encoding stays
+        # ON only for the bounded-cardinality columns; 64k row groups keep
+        # the stats-pruning granularity (lsn windows, XA marker scan,
+        # txn-boundary tail reads) unchanged.
+        pq.write_table(
+            seg_tbl,
+            seg_path,
+            row_group_size=64 * 1024,
+            compression="zstd",
+            compression_level=1,
+            use_dictionary=["op", "schema_name", "table_name", "pk_repo", "gtid"],
+        )
         segments.append(seg_path)
         lsn0 += n_ev
 
