@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": R.lineitem_rollup,
         # exact grouped quantiles (median/p90, quantile_cont semantics)
         "median_value_by_type": R.median_value_by_type,
+        # grouped top-k after a fact-fact join (top parts per brand)
+        "brand_top_parts": R.brand_top_parts,
         # --- deduplication (training-data pipeline) ----------------------
         "doc_exact_dedup": D.exact_dedup,
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only
@@ -102,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_flags": T.quality_flags,
         "doc_lang_id": T.lang_id,  # oracle-backed (stopword-profile argmax)
         "doc_fingerprints": T.doc_fingerprints,  # oracle-backed (md5 rolling hash)
+        # corpus-wide top-k n-gram statistics (exact, SQL-oracled)
+        "doc_top_bigrams": T.top_bigrams,
         # --- multimodal plumbing (image/audio/video frame-sample; fake
         # codecs, real Ray actor-pool stages; in-process spot-decode asserts)
         "multimodal_media_features": M.multimodal_media_features,  # rows-only

@@ -239,6 +239,23 @@ RELATIONAL_SQL: dict[str, str] = {
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1
     """,
+    # grouped top-k after a fact-fact join (exact int64 cent*bp money units,
+    # deterministic (rev desc, partkey asc) tie-break — mirrors the Ray op)
+    "brand_top_parts": """
+        WITH rev AS (
+            SELECT l_partkey AS p_partkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev_c4
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_brand, p.p_partkey, rev_c4 / 10000.0 AS revenue,
+               row_number() OVER (
+                   PARTITION BY p_brand ORDER BY rev_c4 DESC, p.p_partkey
+               ) AS brand_rank
+        FROM rev JOIN part p ON p.p_partkey = rev.p_partkey
+        QUALIFY brand_rank <= 3
+    """,
 }
 
 TRAINING_SQL: dict[str, str] = {
@@ -356,6 +373,23 @@ TRAINING_SQL: dict[str, str] = {
                     ELSE 'es' END AS lang_pred,
                greatest(s_en, s_de, s_fr, s_es) AS lang_score
         FROM sc
+    """,
+    # corpus-wide top-k word bigrams (same trim+\s+ tokenization as
+    # doc_token_stats; total order (n desc, bigram asc) makes LIMIT exact)
+    "doc_top_bigrams": """
+        WITH toks AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), bg AS (
+            SELECT unnest(list_transform(
+                generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1]
+            )) AS bigram
+            FROM toks
+        )
+        SELECT bigram, count(*)::BIGINT AS n
+        FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
     """,
     "doc_token_stats": """
         WITH toks AS (

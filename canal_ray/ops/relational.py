@@ -680,3 +680,61 @@ def median_value_by_type(sf_dir: str) -> pd.DataFrame:
         )
 
     return ds.groupby("event_type").map_groups(per_group, batch_format="pandas").to_pandas()
+
+
+def brand_top_parts(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k AFTER a fact-fact join: top-k parts per brand by
+    lineitem revenue — the "top documents per domain" shape of a curation
+    pipeline (SURVEY.md §2.8 grouped top-k; reference analog: per-key
+    ordering guarantees of RdbSyncService.pkHash sharding).
+
+    Scale shape: per-batch partial revenue sums keyed by l_partkey (combiner)
+    -> one small groupby(l_partkey) -> native hash join to part on the SAME
+    key (both sides fact-scale; no broadcast) -> per-brand exact top-k via
+    map_groups (group size = parts-per-brand, bounded; the per-group state is
+    k rows). Money rides as exact int64 cent*bp units end to end."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        base_c = _cents(t["l_extendedprice"]).to_numpy()
+        disc_c = _cents(t["l_discount"]).to_numpy()  # 0..10 hundredths
+        df = pd.DataFrame(
+            {
+                "p_partkey": t["l_partkey"].to_numpy(),
+                "rev_c4": base_c * (100 - disc_c),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("p_partkey", as_index=False).agg(rev_c4=("rev_c4", "sum")),
+            preserve_index=False,
+        )
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    joined = rev.join(part, join_type="inner", num_partitions=16, on=("p_partkey",))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev_c4", "p_partkey"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "p_brand": g["p_brand"].to_numpy(),
+                "p_partkey": g["p_partkey"].to_numpy(),
+                "revenue": g["rev_c4"].to_numpy() / 10_000.0,
+                "brand_rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        joined.groupby("p_brand")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["p_brand", "brand_rank"])
+        .reset_index(drop=True)
+    )

@@ -167,3 +167,56 @@ def doc_fingerprints(sf_dir: str, hash_fn: str = "md5") -> pd.DataFrame:
         Fingerprinter, fn_constructor_args=(4, hash_fn),
         batch_format="pandas", concurrency=2,
     ).to_pandas()
+
+
+def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide top-k word bigrams — the n-gram statistics pass of a
+    training-data pipeline (e.g. contamination screens / boilerplate
+    detection over public recipes).
+
+    Scale shape: per-batch bigram counting entirely in Arrow/numpy (flatten
+    the token list-array once; adjacent pairs via offset arithmetic — no
+    Python loop over rows), partial counts as a combiner, ONE
+    groupby(bigram) over partial counts, then a distributed sort + limit k.
+    Nothing corpus-sized touches the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"].combine_chunks()), r"\s+"
+        )
+        off = toks.offsets.to_numpy()
+        vals = toks.values
+        valid = np.ones(len(vals), dtype=bool)
+        ends = off[1:]
+        nz = ends[ends > 0] - 1  # each doc's last token: no successor
+        valid[nz] = False
+        left_idx = np.flatnonzero(valid)
+        if left_idx.size == 0:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        left = vals.take(pa.array(left_idx))
+        right = vals.take(pa.array(left_idx + 1))
+        big = pc.binary_join_element_wise(left, right, " ")
+        counts = big.value_counts()
+        return pa.table(
+            {
+                "bigram": counts.field("values"),
+                "n": pc.cast(counts.field("counts"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(rd.aggregate.Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out[["bigram", "n"]]

@@ -76,6 +76,8 @@ def assert_parity(ray_df, sql: str):
         "asof_purchase_last_view",
         "lineitem_rollup",
         "median_value_by_type",
+        "brand_top_parts",
+        "doc_top_bigrams",
         "doc_exact_dedup",
         "doc_jaccard_exact_pairs",
         "doc_token_stats",
