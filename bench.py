@@ -83,6 +83,11 @@ def run_cdc_replay(num_cpus: int) -> dict:
         # 30.7 at 256k — finer batches pipeline the fused read->decode->
         # scatter chain better under bandwidth contention); neutral at 8
         decode_batch_size=64 * 1024,
+        # A/B knob for the exchange fragment codec (lz4 default; zstd halves
+        # exchange bytes at more encode CPU — candidate for bandwidth-bound
+        # high-concurrency legs)
+        extras={"frag_codec": os.environ.get("CANAL_FRAG_CODEC", "lz4")},
+        pipelined_cycles=os.environ.get("CANAL_PIPELINED", "0") == "1",
         # exchange defaults to "scatter": disk-fragment exchange, nothing
         # accumulates in the object store (r2; ~25% faster than the sort
         # shuffle at 32 CPUs and the only mode that survives a 10^10-event

@@ -56,6 +56,19 @@ class CdcConfig:
     #   canal_ray.scatter). "sort": Ray groupby sort-shuffle (the whole
     #   cycle transits the object store; fine for small jobs).
     exchange: str = "scatter"
+    # overlap cycle i's gather/apply with cycle i+1's fused read->decode->
+    # scatter (one-cycle lookahead; acks stay strictly in order because the
+    # pending cycle is collected+acked before the next gather launches, and
+    # before any manifest-only ack). The win is hiding gather IO WAITS —
+    # on a real cluster the fragments live on shared storage and gather
+    # tasks idle CPUs on network reads; on one box they read page cache and
+    # never idle, so overlapping two bandwidth-bound phases just time-slices
+    # them (measured: 26.3/27.0s sequential vs 27.4/30.8s pipelined on the
+    # 24.4M-event replay at 32 CPUs, neutral at 8). Default OFF for the
+    # single-box profile; turn ON for multi-node shared-storage deploys.
+    # Forced OFF when downstream handlers are configured: their retry
+    # contract is per-cycle-synchronous (EntryEventSink.java:176-209).
+    pipelined_cycles: bool = False
 
     # --- epoching / batching ---------------------------------------------
     epoch_segments: int = 4  # segments consumed per epoch (per ack point)

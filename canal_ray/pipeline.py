@@ -267,6 +267,8 @@ class CdcJob:
         # setup both consult them; without the cache a tail poll re-reads
         # O(total history) footers every run()
         self._seg_stats_cache: dict[str, tuple[int, int, int]] = {}
+        # in-flight pipelined cycle (gather futures awaiting collection)
+        self._pending: dict | None = None
 
     def _seg_stats(self, path: str) -> tuple[int, int, int]:
         got = self._seg_stats_cache.get(path)
@@ -459,31 +461,41 @@ class CdcJob:
             pending = pending[:max_epochs]
 
         cycles_done = 0
-        while pending:
-            k = max(1, cfg.epochs_per_cycle)
-            cycle, pending = pending[:k], pending[k:]
-            # downstream-handler retry loop (EntryEventSink.java:176-209):
-            # a cycle re-run is always safe — per-(partition, epoch) fencing
-            # turns already-applied work into no-ops
-            attempt = 0
-            while True:
-                try:
-                    schema, events = self._run_cycle(cycle, schema)
-                    break
-                except Exception as exc:
-                    from canal_ray.handlers import want_retry
+        try:
+            while pending:
+                k = max(1, cfg.epochs_per_cycle)
+                cycle, pending = pending[:k], pending[k:]
+                # downstream-handler retry loop (EntryEventSink.java:176-209):
+                # a cycle re-run is always safe — per-(partition, epoch)
+                # fencing turns already-applied work into no-ops
+                attempt = 0
+                while True:
+                    try:
+                        schema, events = self._run_cycle(cycle, schema)
+                        break
+                    except Exception as exc:
+                        from canal_ray.handlers import want_retry
 
-                    if not cfg.handlers or not want_retry(cfg.handlers, exc, attempt):
-                        raise
-                    attempt += 1
-            total_events += events
-            processed += len(cycle)
-            cycles_done += 1
-            if (
-                cfg.compact_every_cycles
-                and cycles_done % cfg.compact_every_cycles == 0
-            ):
-                self.compact()
+                        if not cfg.handlers or not want_retry(cfg.handlers, exc, attempt):
+                            raise
+                        attempt += 1
+                total_events += events
+                processed += len(cycle)
+                cycles_done += 1
+                if (
+                    cfg.compact_every_cycles
+                    and cycles_done % cfg.compact_every_cycles == 0
+                ):
+                    # compaction folds ACKED deltas — drain the in-flight
+                    # cycle so its epochs are acked (and its deltas final)
+                    schema, ev = self._flush_pending(schema)
+                    total_events += ev
+                    self.compact()
+            schema, ev = self._flush_pending(schema)
+            total_events += ev
+        except BaseException:
+            self._abort_pending()
+            raise
         return {
             "epochs_processed": processed,
             "last_epoch": self.store.last_complete_epoch(),
@@ -586,6 +598,9 @@ class CdcJob:
                 ray.data.read_parquet(log_segs, columns=DECODE_INPUT_COLUMNS)
             )
         if not sources:
+            # acks are strictly ordered: the pending pipelined cycle (if
+            # any) must land before these manifest-only acks
+            schema, ev0 = self._flush_pending(schema)
             for epoch, segs in cycle:
                 manifest = self._manifest(epoch, segs, schema, 0, epoch_clocks.get(epoch, 0))
                 self.store.write_epoch(epoch, manifest)
@@ -593,7 +608,7 @@ class CdcJob:
                     from canal_ray.handlers import fire_after_durable
 
                     fire_after_durable(self.store, cfg.handlers, epoch, manifest)
-            return schema, 0
+            return schema, ev0
         ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
         window = None
         if cfg.txn_aligned_epochs and epoch_ranges:
@@ -648,6 +663,31 @@ class CdcJob:
                 frag_index.setdefault(int(r["pid"]), []).append(
                     (r["fragment"], int(r["row_group"]))
                 )
+            if cfg.pipelined_cycles and not cfg.handlers:
+                # one-cycle lookahead: ack the PREVIOUS cycle now (its gather
+                # ran concurrently with the scatter above), then launch this
+                # cycle's gather asynchronously — the next cycle's scatter
+                # (or the final flush) collects it. Acks stay strictly in
+                # order; the gather straggler tail overlaps useful work.
+                from canal_ray.scatter import submit_gather
+
+                schema, prev_events = self._flush_pending(schema)
+                futures = submit_gather(
+                    cfg, frag_index, epoch_ranges, schema.to_json()
+                )
+                self._pending = {
+                    "cycle": cycle,
+                    "futures": futures,
+                    "epoch_clocks": epoch_clocks,
+                    "frag_dir": frag_dir,
+                }
+                if _timing:
+                    print(
+                        f"[phase] cycle e{cycle[0][0]}: scatter={_t1 - _t0:.2f}s "
+                        f"gather=async frags={len({r['fragment'] for r in frag_rows})}",
+                        flush=True,
+                    )
+                return schema, prev_events
             summaries = run_gather(cfg, frag_index, epoch_ranges, schema.to_json())
             if _timing:
                 _t2 = _time.perf_counter()
@@ -663,6 +703,24 @@ class CdcJob:
                 .map_groups(applier, batch_format="pyarrow")
                 .take_all()
             )
+        frag_dir = (
+            os.path.join(cfg.lake_dir, "_fragments", f"cycle_e{cycle[0][0]:05d}")
+            if cfg.exchange == "scatter"
+            else None
+        )
+        return self._finalize_cycle(cycle, summaries, epoch_clocks, schema, frag_dir)
+
+    def _finalize_cycle(
+        self,
+        cycle: list[tuple[int, list[str]]],
+        summaries: list[dict],
+        epoch_clocks: dict[int, int],
+        schema: TableSchema,
+        frag_dir: str | None,
+    ) -> tuple[TableSchema, int]:
+        """Metrics + in-order epoch acks + exchange cleanup for one applied
+        cycle (shared by the synchronous path and the pipelined flush)."""
+        cfg = self.cfg
         # metrics BEFORE the acks (at-least-once: a crash between the two
         # re-runs the cycle and re-emits identical counter samples; the
         # inverse order would lose acked epochs' samples forever)
@@ -689,14 +747,54 @@ class CdcJob:
                 from canal_ray.handlers import fire_after_durable
 
                 fire_after_durable(self.store, cfg.handlers, epoch, manifest)
-        if cfg.exchange == "scatter":
+        if frag_dir is not None:
             import shutil
 
-            shutil.rmtree(
-                os.path.join(cfg.lake_dir, "_fragments", f"cycle_e{cycle[0][0]:05d}"),
-                ignore_errors=True,
-            )
+            shutil.rmtree(frag_dir, ignore_errors=True)
         return schema, total_events
+
+    def _flush_pending(self, schema: TableSchema) -> tuple[TableSchema, int]:
+        """Collect + ack the in-flight pipelined cycle (no-op when none).
+
+        ``schema`` must be the schema at the pending cycle's START (exactly
+        what run()/_run_cycle hold at the point of call: the pipelined
+        _run_cycle returns the pre-cycle schema while its gather is in
+        flight, and that value round-trips back here)."""
+        p = self._pending
+        if p is None:
+            return schema, 0
+        self._pending = None
+        import time as _time
+
+        from canal_ray.scatter import collect_gather
+
+        _t0 = _time.perf_counter()
+        summaries = collect_gather(p["futures"])
+        if os.environ.get("CANAL_PHASE_TIMING"):
+            print(
+                f"[phase] cycle e{p['cycle'][0][0]}: gather-flush="
+                f"{_time.perf_counter() - _t0:.2f}s",
+                flush=True,
+            )
+        return self._finalize_cycle(
+            p["cycle"], summaries, p["epoch_clocks"], schema, p["frag_dir"]
+        )
+
+    def _abort_pending(self) -> None:
+        """Cancel in-flight gather tasks after a failure: a zombie writer
+        racing the re-run's own gather is prevented (delta writes are
+        tmp+rename, so cancellation cannot leave torn files)."""
+        p = self._pending
+        if p is None:
+            return
+        self._pending = None
+        import ray
+
+        for f in p["futures"]:
+            try:
+                ray.cancel(f, force=True, recursive=True)
+            except Exception:
+                pass
 
     def _manifest(
         self, epoch: int, segs: list[str], schema: TableSchema, events: int,

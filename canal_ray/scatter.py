@@ -194,6 +194,21 @@ def run_gather(
     flattening the 8->32 CPU scaling curve. One named task per partition is
     the exact granularity the apply fencing is built around.
     """
+    return collect_gather(
+        submit_gather(cfg, frag_index, epoch_ranges, start_schema_json)
+    )
+
+
+def submit_gather(
+    cfg: CdcConfig,
+    frag_index: dict[int, list[tuple[str, int]]],
+    epoch_ranges: list[tuple[int, int, int]],
+    start_schema_json: list[list[str]],
+) -> list:
+    """Launch the per-partition gather tasks WITHOUT blocking — the cycle
+    pipeline overlaps these with the next cycle's scatter (the driver
+    collects them via ``collect_gather`` before acking, keeping acks in
+    order while the straggler tail hides behind new scatter work)."""
     import time as _time
 
     import ray
@@ -204,10 +219,16 @@ def run_gather(
         return rows, pid, _time.perf_counter() - t0
 
     task = ray.remote(num_cpus=1)(_timed)
-    futures = [
+    return [
         task.remote(cfg, pid, frag_index.get(pid, []), epoch_ranges, start_schema_json)
         for pid in range(cfg.num_partitions)
     ]
+
+
+def collect_gather(futures: list) -> list[dict]:
+    """Block on submitted gather tasks and return the summary rows."""
+    import ray
+
     results = ray.get(futures)
     if os.environ.get("CANAL_PHASE_TIMING"):
         durs = sorted(d for _, _, d in results)

@@ -206,3 +206,21 @@ def test_per_ack_point_state_with_multi_epoch_cycles(ray_session, tmp_path):
             ["repo", "path"]).reset_index(drop=True)
         want, _ = replay_oracle(d, list(cfg.initial_schema), up_to_lsn=cut)
         assert state_digest(got) == state_digest(want), f"as-of epoch {epoch}"
+
+
+def test_pipelined_cycles_digest_and_resume(ray_session, t1_fixture, tmp_path_factory):
+    """pipelined_cycles=True (one-cycle gather lookahead) must produce the
+    byte-identical lake state: multi-cycle run, partial run + resume across
+    the pending-flush boundary, and in-order acks throughout."""
+    d, meta = t1_fixture
+    lake = str(tmp_path_factory.mktemp("lake_pipe"))
+    cfg = _cfg(d, lake, epochs_per_cycle=2, pipelined_cycles=True)
+    job = CdcJob(cfg)
+    job.run(max_epochs=2)  # partial: pending cycle flushed before return
+    store_epochs_after_partial = job.store.last_complete_epoch()
+    assert store_epochs_after_partial >= 0
+    CdcJob(cfg).run()  # resume
+    oracle_df, _ = replay_oracle(d, list(cfg.initial_schema))
+    assert state_digest(job.state_pandas()) == state_digest(oracle_df)
+    # duplicate run is a fenced no-op even with pipelining enabled
+    assert CdcJob(cfg).run()["epochs_processed"] == 0
