@@ -119,8 +119,16 @@ def make_scatter_fn(frag_dir: str, codec: str = "lz4"):
         fd, tmp = tempfile.mkstemp(dir=frag_dir, prefix=".tmp_", suffix=".arrow")
         os.close(fd)
         try:
-            # options built in-task: IpcWriteOptions is not serializable
-            opts = pipc.IpcWriteOptions(compression=codec)
+            # options built in-task: IpcWriteOptions is not serializable.
+            # "zstd:-3"-style suffix selects an explicit level (zstd's
+            # negative fast levels sit between lz4 and zstd-1 on the
+            # CPU-vs-bytes curve — a useful mid-point for the exchange)
+            if ":" in codec:
+                name, lvl = codec.split(":", 1)
+                comp = pa.Codec(name, compression_level=int(lvl))
+            else:
+                comp = codec
+            opts = pipc.IpcWriteOptions(compression=comp)
             with pipc.new_file(tmp, batch.schema, options=opts) as writer:
                 for s, e in zip(starts, ends):
                     writer.write_table(batch.slice(s, e - s))
