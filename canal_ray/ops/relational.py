@@ -47,7 +47,18 @@ def latest_events_by_user(sf_dir: str) -> pd.DataFrame:
     )
     partial = lambda t: keep_last(t, ["user_id"], ["ts", "event_id"])  # noqa: E731
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    out = ds.groupby("user_id").map_groups(partial, batch_format="pyarrow")
+    # typed empty for empty map_groups blocks (metadata-only schema read):
+    # map_groups hands empty partitions a ZERO-COLUMN block, and returning
+    # it as-is emits schema-less RefBundles (executor warning noise)
+    import pyarrow.parquet as pq
+
+    fsch = pq.read_schema(f"{sf_dir}/events.parquet")
+    sch = pa.schema([fsch.field(c) for c in ["user_id", "event_id", "ts", "event_type", "value"]])
+
+    def grouped(t: pa.Table) -> pa.Table:
+        return keep_last(t, ["user_id"], ["ts", "event_id"]) if t.num_rows else sch.empty_table()
+
+    out = ds.groupby("user_id").map_groups(grouped, batch_format="pyarrow")
     return out.to_pandas()
 
 
