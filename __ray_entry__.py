@@ -106,6 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,  # oracle-backed (md5 rolling hash)
         # corpus-wide top-k n-gram statistics (exact, SQL-oracled)
         "doc_top_bigrams": T.top_bigrams,
+        # per-(lang, source) downsampling cap (partial cap per batch -> one
+        # bounded exchange; the "cap the dominant crawl" curation step)
+        "doc_source_cap": T.source_cap,
+        # eval-set leakage screen (broadcast pattern list, vectorized regex)
+        "doc_contamination": T.contamination_screen,
         # --- multimodal plumbing (image/audio/video frame-sample; fake
         # codecs, real Ray actor-pool stages; in-process spot-decode asserts)
         "multimodal_media_features": M.multimodal_media_features,  # rows-only

@@ -374,6 +374,23 @@ TRAINING_SQL: dict[str, str] = {
                greatest(s_en, s_de, s_fr, s_es) AS lang_score
         FROM sc
     """,
+    # deterministic per-(lang, source) downsampling cap (stable doc_id rule)
+    "doc_source_cap": """
+        SELECT doc_id, lang, source FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang, source ORDER BY doc_id
+        ) <= 50
+    """,
+    # eval-set leakage screen; pattern list mirrors
+    # canal_ray.ops.text.CONTAMINATION_PATTERNS verbatim
+    "doc_contamination": """
+        SELECT doc_id,
+               regexp_matches(
+                   text,
+                   'merge sort line|query filter batch|stream window agg'
+               ) AS contaminated
+        FROM documents
+    """,
     # corpus-wide top-k word bigrams (same trim+\s+ tokenization as
     # doc_token_stats; total order (n desc, bigram asc) makes LIMIT exact)
     "doc_top_bigrams": """

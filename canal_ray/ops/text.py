@@ -220,3 +220,63 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .to_pandas()
     )
     return out[["bigram", "n"]]
+
+
+def source_cap(sf_dir: str, n: int = 50) -> pd.DataFrame:
+    """Deterministic per-(lang, source) downsampling cap — the "don't let
+    one crawl dominate the mix" curation step of a training-data pipeline.
+    Keeps the n lowest-doc_id docs per cell (a stable, seedless rule both
+    sides can compute exactly).
+
+    Scale shape: per-batch partial cap first (each batch keeps at most n
+    per cell — pandas C-path sort + groupby.head), so the ONE exchange
+    moves <= n rows per cell per block, never the full corpus; the final
+    per-cell cap runs on groups bounded by n x blocks."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def cap(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values("doc_id")
+            .groupby(["lang", "source"], sort=False)
+            .head(n)
+        )
+
+    return (
+        ds.map_batches(cap, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .map_groups(cap, batch_format="pandas")
+        .to_pandas()[["doc_id", "lang", "source"]]
+    )
+
+
+# benchmark-phrase screen list (synthetic stand-ins; the real pipeline
+# broadcasts the eval-set shingle table the same way)
+CONTAMINATION_PATTERNS = (
+    "merge sort line",
+    "query filter batch",
+    "stream window agg",
+)
+
+
+def contamination_screen(sf_dir: str) -> pd.DataFrame:
+    """Decontamination pass: flag documents containing any screened phrase
+    (eval-set leakage screen, standard practice in public LLM data recipes).
+    The pattern set is tiny and rides in the task closure (broadcast-once);
+    matching is one vectorized regex alternation per batch — compiled once
+    per worker by pandas' regex cache, no per-row Python."""
+    import re
+
+    pat = "|".join(re.escape(p) for p in CONTAMINATION_PATTERNS)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def screen(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "contaminated": b["text"].str.contains(pat, regex=True),
+            }
+        )
+
+    return ds.map_batches(screen, batch_format="pandas").to_pandas()

@@ -78,6 +78,8 @@ def assert_parity(ray_df, sql: str):
         "median_value_by_type",
         "brand_top_parts",
         "doc_top_bigrams",
+        "doc_source_cap",
+        "doc_contamination",
         "doc_exact_dedup",
         "doc_jaccard_exact_pairs",
         "doc_token_stats",
