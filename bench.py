@@ -86,7 +86,14 @@ def run_cdc_replay(num_cpus: int) -> dict:
         # A/B knob for the exchange fragment codec (lz4 default; zstd halves
         # exchange bytes at more encode CPU — candidate for bandwidth-bound
         # high-concurrency legs)
-        extras={"frag_codec": os.environ.get("CANAL_FRAG_CODEC", "lz4")},
+        extras={
+            "frag_codec": os.environ.get("CANAL_FRAG_CODEC", "lz4"),
+            **(
+                {"read_blocks_per_seg": int(os.environ["CANAL_READ_BLOCKS"])}
+                if os.environ.get("CANAL_READ_BLOCKS")
+                else {}
+            ),
+        },
         pipelined_cycles=os.environ.get("CANAL_PIPELINED", "0") == "1",
         # exchange defaults to "scatter": disk-fragment exchange, nothing
         # accumulates in the object store (r2; ~25% faster than the sort

@@ -594,8 +594,26 @@ class CdcJob:
             if extra:
                 log_segs = [*extra, *log_segs]
         if log_segs:
+            # extras["read_blocks_per_seg"]: split each segment read into N
+            # output blocks (N tasks read disjoint row-group ranges) — finer
+            # read tasks bound per-task heap (a whole 500k-row segment is
+            # ~450 MB Arrow) and pipeline the fused chain under bandwidth
+            # contention. Default 4: won every interleaved A/B pair at both
+            # 8 and 32 CPUs on the 24.4M-event replay (vs file-granular:
+            # 26.3->24.6s and 27.0->26.3s at 32; 42.1->41.3 and 40.3->39.4
+            # at 8; rb8 21.7 vs rb4 20.9 vs rb2 25.8 same window). 0/None
+            # restores Ray's file-granular tasks.
+            rbps = self.cfg.extras.get("read_blocks_per_seg", 4)
             sources.append(
-                ray.data.read_parquet(log_segs, columns=DECODE_INPUT_COLUMNS)
+                ray.data.read_parquet(
+                    log_segs,
+                    columns=DECODE_INPUT_COLUMNS,
+                    **(
+                        {"override_num_blocks": int(rbps) * len(log_segs)}
+                        if rbps
+                        else {}
+                    ),
+                )
             )
         if not sources:
             # acks are strictly ordered: the pending pipelined cycle (if
