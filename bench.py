@@ -78,7 +78,12 @@ def run_cdc_replay(num_cpus: int) -> dict:
         base_table=os.path.join(_fixture_dir(), "base", "repos.parquet"),
         num_partitions=64,
         epoch_segments=4,  # fine-grained ack points ...
-        epochs_per_cycle=7,  # ... batched through one exchange per cycle
+        # 4 epochs per consumption cycle: re-validated under the round-3
+        # wire format + rb4 reads — 25.2/26.7s vs 26.1/28.3s at epc7 at 32
+        # CPUs (epc13 30.5s); epc7 is ~6% better at 8 CPUs (40.5 vs 43.2)
+        # but the config is tuned for the 4N deployment target, measured
+        # identically at both levels (round-1 protocol).
+        epochs_per_cycle=int(os.environ.get("CANAL_EPC", "4")),
         # 64k: consistently fastest at 32 CPUs (22.0s vs 24.8 at 128k and
         # 30.7 at 256k — finer batches pipeline the fused read->decode->
         # scatter chain better under bandwidth contention); neutral at 8
