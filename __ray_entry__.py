@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_pairs": D.ngram_jaccard_pairs,  # rows-only
         # exact all-pairs word-trigram Jaccard (SQL-oracle-checkable)
         "doc_jaccard_exact_pairs": D.ngram_jaccard_exact_pairs,
+        # connected-component dedup over the exact edges (recursive-CTE
+        # min-label oracle — the SQL-checkable variant of the minhash keep)
+        "doc_jaccard_dedup_keep": D.jaccard_dedup_keep,
         "doc_simhash": D.simhash_docs,  # oracle-backed (md5 token hash)
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         # --- text analysis ----------------------------------------------

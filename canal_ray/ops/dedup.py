@@ -708,3 +708,33 @@ def embedding_neardup_pairs(
         return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def jaccard_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Connected-component dedup over the EXACT all-pairs Jaccard edges —
+    the SQL-oracle-checkable variant of ``minhash_dedup_keep`` (the oracle
+    computes the same components via a recursive min-label CTE). Each doc
+    maps to its cluster representative (min doc_id).
+
+    Union-find on the driver is justified because the verified edge set is
+    tiny relative to the corpus; at 10^10 docs this becomes iterative
+    min-label propagation via groupby (same note as minhash_dedup_keep)."""
+    pairs = ngram_jaccard_exact_pairs(sf_dir, k=3, jaccard_threshold=jaccard_threshold)
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    out = ids.copy()
+    out["dup_of"] = out["doc_id"].map(lambda d: find(int(d))).astype("int64")
+    out["is_dup"] = out["dup_of"] != out["doc_id"]
+    return out.sort_values("doc_id").reset_index(drop=True)

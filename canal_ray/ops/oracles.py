@@ -293,6 +293,41 @@ TRAINING_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
     """,
+    # connected-component dedup over the exact-Jaccard edges: recursive
+    # min-label propagation (the SQL form of the Ray op's union-find)
+    "doc_jaccard_dedup_keep": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(w) - 2, 0))) AS i) g
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        ), edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), reach(node, peer) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.peer
+        )
+        SELECT node AS doc_id, min(peer) AS dup_of,
+               (min(peer) <> node) AS is_dup
+        FROM reach GROUP BY node
+    """,
     # token hash on both sides = first 16 hex chars of md5 as UBIGINT
     # (ops.text._tok_hashes): makes simhash / fingerprints / lang-id exactly
     # SQL-expressible instead of rows-only

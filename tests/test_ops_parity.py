@@ -82,6 +82,7 @@ def assert_parity(ray_df, sql: str):
         "doc_contamination",
         "doc_exact_dedup",
         "doc_jaccard_exact_pairs",
+        "doc_jaccard_dedup_keep",
         "doc_token_stats",
         "doc_quality_flags",
         "doc_simhash",
