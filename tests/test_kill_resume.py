@@ -19,10 +19,15 @@ from canal_ray.oracle import replay_oracle, state_digest
 from canal_ray.pipeline import CdcJob
 
 
-def test_sigkill_mid_replay_then_resume(ray_session, tmp_path):
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_sigkill_mid_replay_then_resume(ray_session, tmp_path, pipelined):
     d = str(tmp_path / "fix")
     generate_fixture(d, n_base=2_000, n_events=40_000, n_segments=8, seed=37)
     lake = str(tmp_path / "lake")
+    # pipelined=True: the kill lands while a gather may be in flight for an
+    # un-acked cycle — resume must re-run it (fencing absorbs any deltas the
+    # zombie gather already wrote)
+    epc = 2 if pipelined else 1
     script = textwrap.dedent(
         f"""
         import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
@@ -33,7 +38,8 @@ def test_sigkill_mid_replay_then_resume(ray_session, tmp_path):
         from canal_ray.pipeline import CdcJob
         cfg = CdcConfig(log_dir={d + "/binlog"!r}, lake_dir={lake!r},
                         base_table={d + "/base/repos.parquet"!r},
-                        num_partitions=4, epoch_segments=1, epochs_per_cycle=1)
+                        num_partitions=4, epoch_segments=1,
+                        epochs_per_cycle={epc}, pipelined_cycles={pipelined})
         print("START", flush=True)
         CdcJob(cfg).run()
         print("DONE", flush=True)
@@ -60,7 +66,8 @@ def test_sigkill_mid_replay_then_resume(ray_session, tmp_path):
 
     cfg = CdcConfig(
         log_dir=f"{d}/binlog", lake_dir=lake, base_table=f"{d}/base/repos.parquet",
-        num_partitions=4, epoch_segments=1, epochs_per_cycle=1,
+        num_partitions=4, epoch_segments=1, epochs_per_cycle=epc,
+        pipelined_cycles=pipelined,
     )
     job = CdcJob(cfg)
     report = job.run()  # resume in the test session's Ray
