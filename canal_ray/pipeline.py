@@ -660,9 +660,7 @@ class CdcJob:
             if _timing:
                 print(f"[phase] cycle-setup={_time.perf_counter() - _tc:.2f}s", flush=True)
             _t0 = _time.perf_counter()
-            frag_dir = os.path.join(
-                cfg.lake_dir, "_fragments", f"cycle_e{cycle[0][0]:05d}"
-            )
+            frag_dir = self._frag_dir(cycle[0][0])
             shutil.rmtree(frag_dir, ignore_errors=True)  # stale crashed run
             scatter_ds = ds.map_batches(
                 make_scatter_fn(frag_dir, cfg.extras.get("frag_codec", "lz4")),
@@ -722,11 +720,31 @@ class CdcJob:
                 .take_all()
             )
         frag_dir = (
-            os.path.join(cfg.lake_dir, "_fragments", f"cycle_e{cycle[0][0]:05d}")
-            if cfg.exchange == "scatter"
-            else None
+            self._frag_dir(cycle[0][0]) if cfg.exchange == "scatter" else None
         )
         return self._finalize_cycle(cycle, summaries, epoch_clocks, schema, frag_dir)
+
+    def _frag_dir(self, cycle_e0: int) -> str:
+        """Exchange-fragment directory for one cycle. ``extras["frag_root"]``
+        relocates the TRANSIENT shuffle files off the lake filesystem — on a
+        multi-node cluster this is the node-local shuffle dir (NVMe/tmpfs,
+        the standard shuffle-file placement); fragments live seconds and are
+        deleted at cycle ack, so colocating them with the durable lake makes
+        their writeback compete with delta/checkpoint IO for no benefit.
+        Default: under the lake (works everywhere, incl. shared storage)."""
+        root = self.cfg.extras.get("frag_root")
+        if not root:
+            return os.path.join(
+                self.cfg.lake_dir, "_fragments", f"cycle_e{cycle_e0:05d}"
+            )
+        import hashlib
+
+        tag = hashlib.sha256(
+            os.path.abspath(self.cfg.lake_dir).encode()
+        ).hexdigest()[:12]
+        # namespaced by lake identity: two jobs sharing one shuffle root
+        # (e.g. /dev/shm) must not collide on cycle numbers
+        return os.path.join(root, f"_fragments_{tag}", f"cycle_e{cycle_e0:05d}")
 
     def _finalize_cycle(
         self,
