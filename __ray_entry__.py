@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": A.ann_ivf_topk,  # rows-only (approximate)
         # persisted bucket-partitioned index; directory-pruned probe reads
         "ann_ivf_indexed_topk": A.ann_ivf_indexed_topk,  # rows-only
+        # recall@k evaluation of every approximate variant vs brute force
+        # (the production tuning loop; deterministic, self-evaluating)
+        "ann_recall_report": A.ann_recall_report,  # rows-only
 
         "label_centroid_norms": A.label_centroid_norms,
     }

@@ -412,3 +412,41 @@ def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
     df["n"] = df["n"].astype("int64")
     df["centroid_norm"] = np.round(df["centroid_norm"], 6)
     return df
+
+
+def ann_recall_report(sf_dir: str, k: int = 10, n_queries: int = 8) -> pd.DataFrame:
+    """Recall@k of each approximate ANN variant against the exact baseline —
+    the evaluation pass a production similarity-search deployment runs when
+    tuning probes/clusters (public methodology: recall@k vs brute force).
+
+    Deterministic given the fixed seeds the variants use; output one row per
+    (method, query_id) plus a 'method'-level mean (query_id = -1)."""
+    exact = ann_cosine_topk(sf_dir, k=k, n_queries=n_queries)
+    truth = {
+        q: set(g["vec_id"].to_numpy())
+        for q, g in exact.groupby("query_id")
+    }
+    rows = []
+    for method, df in (
+        ("lsh", ann_lsh_topk(sf_dir, k=k, n_queries=n_queries)),
+        ("ivf", ann_ivf_topk(sf_dir, k=k, n_queries=n_queries)),
+        ("ivf_indexed", ann_ivf_indexed_topk(sf_dir, k=k, n_queries=n_queries)),
+    ):
+        per_q = []
+        for q, g in df.groupby("query_id"):
+            got = set(g["vec_id"].to_numpy())
+            r = len(got & truth.get(q, set())) / max(1, len(truth.get(q, set())))
+            per_q.append(r)
+            rows.append({"method": method, "query_id": int(q), "recall": round(r, 4)})
+        rows.append(
+            {
+                "method": method,
+                "query_id": -1,
+                "recall": round(float(np.mean(per_q)) if per_q else 0.0, 4),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["method", "query_id"])
+        .reset_index(drop=True)
+    )

@@ -158,3 +158,17 @@ def test_ivf_indexed_equals_inline(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         b, indexed2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_ann_recall_report(ray_session):
+    from canal_ray.ops.ann import ann_recall_report
+
+    df = ann_recall_report("/root/testdata/sf0.01")
+    means = df[df["query_id"] == -1].set_index("method")["recall"]
+    # in-line IVF and the persisted index must agree exactly (same math)
+    assert means["ivf"] == means["ivf_indexed"]
+    # sanity floors on near-random embeddings (deterministic seeds)
+    assert means["ivf"] >= 0.4
+    assert means["lsh"] >= 0.2
+    per_q = df[df["query_id"] >= 0]
+    assert ((per_q["recall"] >= 0.0) & (per_q["recall"] <= 1.0)).all()
