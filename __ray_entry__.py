@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from canal_ray.ops.cdc_smoke import (
         cdc_connector_drain,
         cdc_derived_event_stats,
+        cdc_flat_produce,
+        cdc_metrics_stream,
         cdc_state_as_of,
         cdc_derived_lang_stats,
         cdc_replay_smoke,
@@ -61,6 +63,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_row_filter_smoke": cdc_row_filter_smoke,  # rows-only
         # point-in-time schema rebuild (DatabaseTableMeta.rollback analog)
         "cdc_schema_timeline": cdc_schema_timeline,  # rows-only
+        # MQ-producer surface: partitioned FlatMessage JSON, 1:1-lossless
+        # asserted against the log's own op column every call
+        "cdc_flat_produce": cdc_flat_produce,  # rows-only
+        # Prometheus-collector surface: metrics stream deduped per the
+        # at-least-once contract, cross-checked vs checkpoint manifests
+        "cdc_metrics_stream": cdc_metrics_stream,  # rows-only
         # --- CDC semantics over the events change stream -----------------
         "cdc_latest_state_by_user": R.latest_events_by_user,
         "cdc_event_type_stats": R.event_type_stats,

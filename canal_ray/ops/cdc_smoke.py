@@ -358,3 +358,103 @@ def cdc_connector_drain(sf_dir: str) -> pd.DataFrame:
     )
     df["acked_epoch"] = conn.acked_epoch()
     return df
+
+
+def cdc_flat_produce(sf_dir: str) -> pd.DataFrame:
+    """MQ-producer surface through the driver gate: the smoke fixture's log
+    serialized as partitioned FlatMessage JSON (``CanalKafkaProducer.send``
+    with flatMessage=true analog). Returns per-op message counts, asserted
+    in-process against the log's own parquet column — the producer must be
+    1:1 and lossless. Rows-only at the driver; self-oracled every call."""
+    import collections
+    import glob
+    import json as _json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from canal_ray.flat import produce_flat_json
+    from canal_ray.loggen import generate_fixture
+
+    root = "/tmp/canal_ray_smoke"
+    fix = os.path.join(root, "fixture")
+    generate_fixture(fix, **_PARAMS)
+    out = os.path.join(root, "flat_out")
+    shutil.rmtree(out, ignore_errors=True)
+    n = produce_flat_json(os.path.join(fix, "binlog"), out)
+
+    got: collections.Counter = collections.Counter()
+    for path in glob.glob(os.path.join(out, "*.json")):
+        with open(path) as f:
+            for line in f:
+                got[_json.loads(line)["type"]] += 1
+    want: collections.Counter = collections.Counter()
+    for seg in sorted(glob.glob(os.path.join(fix, "binlog", "*.parquet"))):
+        ops = pq.read_table(seg, columns=["op"])["op"].to_pylist()
+        want.update(ops)
+    if sum(got.values()) != n or got != want:
+        raise AssertionError(f"FlatMessage producer lost events: {got} != {want}")
+    return (
+        pd.DataFrame(
+            {"op": list(got.keys()), "n_messages": [got[k] for k in got]}
+        )
+        .sort_values("op")
+        .reset_index(drop=True)
+    )
+
+
+def cdc_metrics_stream(sf_dir: str) -> pd.DataFrame:
+    """Prometheus-collector surface through the driver gate (the
+    ``prometheus/.../impl/*Collector.java`` analog): the append-only metrics
+    stream written by the smoke replay, deduped per the at-least-once
+    contract ((epoch, partition, metric) keep-latest), folded to per-metric
+    counter totals. Asserts the scrapeable stream agrees with the engine's
+    OTHER persisted surface — the checkpoint manifests' ``events_applied``
+    (``CdcJob.lineage()``) — two independently written records of the same
+    replay. Rows-only at the driver; the cross-check runs every call."""
+    import hashlib
+    import json as _json
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.loggen import generate_fixture
+    from canal_ray.metrics import PUT_ROWS, MetricsLog
+    from canal_ray.pipeline import CdcJob
+    from canal_ray.sink import DELTA_FORMAT_VERSION
+
+    cdc_replay_smoke(sf_dir)  # ensures the smoke lake + metrics exist
+
+    root = "/tmp/canal_ray_smoke"
+    fix = os.path.join(root, "fixture")
+    meta = generate_fixture(fix, **_PARAMS)
+    key = hashlib.sha256(
+        _json.dumps([meta["params"], DELTA_FORMAT_VERSION], sort_keys=True).encode()
+    ).hexdigest()[:12]
+    lake = os.path.join(root, f"lake_{key}")
+
+    df = MetricsLog(lake).read()
+    # at-least-once delivery: a re-run cycle re-emits identical counter
+    # samples; consumers dedup by (epoch, partition, metric) keeping latest
+    df = (
+        df.sort_values("sampled_at_ms")
+        .drop_duplicates(["epoch", "partition_id", "metric"], keep="last")
+    )
+    counters = df[~df["metric"].str.contains("delay|clock", regex=True)]
+    out = (
+        counters.groupby("metric", as_index=False)["value"]
+        .sum()
+        .sort_values("metric")
+        .reset_index(drop=True)
+    )
+
+    cfg = CdcConfig(
+        log_dir=os.path.join(fix, "binlog"), lake_dir=lake,
+        base_table=os.path.join(fix, "base", "repos.parquet"),
+        num_partitions=8, epoch_segments=2, partial_updates=True,
+    )
+    want = int(CdcJob(cfg).lineage()["total_events_applied"])
+    got = int(out.loc[out["metric"] == PUT_ROWS, "value"].sum())
+    if got != want or got <= 0:
+        raise AssertionError(
+            f"metrics stream ({got}) disagrees with checkpoint manifests ({want})"
+        )
+    return out
