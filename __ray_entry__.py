@@ -98,6 +98,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_type": R.median_value_by_type,
         # grouped top-k after a fact-fact join (top parts per brand)
         "brand_top_parts": R.brand_top_parts,
+        # ordered conversion funnel (strictly-after stage semantics)
+        "user_funnel_counts": R.user_funnel_counts,
+        # distinct-users-per-day (dedup-then-count, no global set)
+        "daily_active_users": R.daily_active_users,
+        # cohort retention (per-user min/max partials, two tiny exchanges)
+        "cohort_retention_7d": R.cohort_retention_7d,
+        # conditional-aggregation pivot after a fact-fact hash join
+        "segment_status_pivot": R.segment_status_pivot,
+        # grouped variance/stddev via (n, sum, sumsq) partials
+        "value_spread_by_type": R.value_spread_by_type,
         # --- deduplication (training-data pipeline) ----------------------
         "doc_exact_dedup": D.exact_dedup,
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only
@@ -117,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,  # oracle-backed (md5 rolling hash)
         # corpus-wide top-k n-gram statistics (exact, SQL-oracled)
         "doc_top_bigrams": T.top_bigrams,
+        # corpus length profile (fixed-width histogram, SQL-oracled)
+        "doc_char_histogram": R.doc_char_histogram,
         # per-(lang, source) downsampling cap (partial cap per batch -> one
         # bounded exchange; the "cap the dominant crawl" curation step)
         "doc_source_cap": T.source_cap,

@@ -256,6 +256,70 @@ RELATIONAL_SQL: dict[str, str] = {
         FROM rev JOIN part p ON p.p_partkey = rev.p_partkey
         QUALIFY brand_rank <= 3
     """,
+    # ordered funnel: each stage strictly after the user's first entry into
+    # the previous stage (matches the Ray shard-fold's strict-> comparisons)
+    "user_funnel_counts": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT 'view_click', count(*) FROM c
+        UNION ALL SELECT 'view_click_purchase', count(*) FROM p
+        ORDER BY stage
+    """,
+    "daily_active_users": """
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY day
+    """,
+    "cohort_retention_7d": """
+        WITH u AS (
+            SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        )
+        SELECT date_trunc('day', first_ts) AS cohort_day,
+               count(*) AS n_users,
+               CAST(sum(CASE WHEN last_ts >= first_ts + INTERVAL 7 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained_7d
+        FROM u GROUP BY 1 ORDER BY cohort_day
+    """,
+    # conditional-aggregation pivot after the fact-fact join (cent-exact)
+    "segment_status_pivot": """
+        SELECT c_mktsegment,
+               count(*) FILTER (o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (o_orderstatus = 'P') AS n_p,
+               COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (o_orderstatus = 'F'), 0) / 100.0 AS rev_f,
+               COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (o_orderstatus = 'O'), 0) / 100.0 AS rev_o,
+               COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (o_orderstatus = 'P'), 0) / 100.0 AS rev_p
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # sample variance/stddev via the (n, sum, sumsq) decomposition on both
+    # sides so float association matches to the rounded digits
+    "value_spread_by_type": """
+        WITH g AS (
+            SELECT event_type, count(*) AS n, sum(value) AS s,
+                   sum(value * value) AS s2
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((s2 - s * s / n) / (n - 1), 4) AS var_value,
+               round(sqrt((s2 - s * s / n) / (n - 1)), 4) AS stddev_value
+        FROM g ORDER BY event_type
+    """,
 }
 
 TRAINING_SQL: dict[str, str] = {
@@ -513,5 +577,10 @@ TRAINING_SQL: dict[str, str] = {
                round(sqrt(sum((d.s / c.n) * (d.s / c.n))), 6) AS centroid_norm
         FROM dims d JOIN cnt c USING (label)
         GROUP BY c.label, c.n
+    """,
+    "doc_char_histogram": """
+        SELECT CAST(floor(n_chars / 500.0) * 500 AS BIGINT) AS bucket_lo,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1 ORDER BY bucket_lo
     """,
 }

@@ -749,3 +749,227 @@ def brand_top_parts(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .sort_values(["p_brand", "brand_rank"])
         .reset_index(drop=True)
     )
+
+
+def user_funnel_counts(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per-stage user
+    counts where each stage must happen STRICTLY AFTER the user's first entry
+    into the previous stage (the product-analytics funnel shape; the
+    reference's per-key ordered-consumption guarantee makes this computable
+    from a change stream, SURVEY.md §2.10).
+
+    Scale shape: hash-shard users (``groupby(hash(user) % shards)``) so each
+    user's whole history lands in one group, then three vectorized pandas
+    merge+min folds per shard; the exchange is the one shuffle. Per-shard
+    state is O(users in shard), never the corpus."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(_with_shard("user_id"), batch_format="pandas")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            g[g["event_type"] == "view"].groupby("user_id")["ts"].min().rename("t1")
+        )
+        clk = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = clk[clk["ts"] > clk["t1"]].groupby("user_id")["ts"].min().rename("t2")
+        pur = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = pur[pur["ts"] > pur["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {
+                "stage": ["view", "view_click", "view_click_purchase"],
+                "n_users": [len(t1), len(t2), len(t3)],
+            }
+        )
+
+    partials = ds.groupby("_shard").map_groups(per_shard, batch_format="pandas")
+    out = partials.groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
+    df = out.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df.sort_values("stage").reset_index(drop=True)
+
+
+def daily_active_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per day (DAU): per-batch (day, user) dedup -> shard
+    dedup -> grouped count. Same dedup-then-count shape as
+    ``distinct_customers_per_status`` — no global set on any node."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": pc.floor_temporal(t["ts"], unit="day").to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    deduped = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(_with_shard("user_id"), batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["day", "user_id"])[["day", "user_id"]],
+            batch_format="pandas",
+        )
+    )
+    out = deduped.groupby("day").aggregate(Count(alias_name="n_users"))
+    df = out.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df.sort_values("day").reset_index(drop=True)
+
+
+def cohort_retention_7d(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users grouped by first-seen day, with the share
+    still active >= 7 days after their first event. Fully partial-reducible:
+    per-batch (user -> min/max ts) combiner, one grouped min/max reduce, then
+    a tiny per-day aggregate — two exchanges, both on pre-reduced rows."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(), "ts": t["ts"].to_numpy()})
+        g = df.groupby("user_id", as_index=False).agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("first_ts", alias_name="first_ts"), Max("last_ts", alias_name="last_ts"))
+    )
+
+    def to_cohort(t: pa.Table) -> pa.Table:
+        first = t["first_ts"]
+        retained = pc.greater_equal(
+            pc.milliseconds_between(first, t["last_ts"]), pa.scalar(7 * 86_400_000)
+        )
+        return pa.table(
+            {
+                "cohort_day": pc.floor_temporal(first, unit="day"),
+                "retained": pc.cast(retained, pa.int64()),
+            }
+        )
+
+    out = (
+        per_user.map_batches(to_cohort, batch_format="pyarrow")
+        .groupby("cohort_day")
+        .aggregate(Count(alias_name="n_users"), Sum("retained", alias_name="n_retained_7d"))
+    )
+    df = out.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    df["n_retained_7d"] = df["n_retained_7d"].astype("int64")
+    return df.sort_values("cohort_day").reset_index(drop=True)
+
+
+def segment_status_pivot(sf_dir: str) -> pd.DataFrame:
+    """Conditional-aggregation pivot after a fact-fact join: order counts and
+    revenue per market segment spread across order-status columns (the
+    FILTER/PIVOT shape). Customer and orders are both fact-scale: native
+    hash join on custkey (no broadcast, no driver keyset), then per-batch
+    conditional partial sums -> one tiny grouped reduce."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": t["c_mktsegment"].to_numpy(zero_copy_only=False),
+                "status": t["o_orderstatus"].to_numpy(zero_copy_only=False),
+                "price_c": _cents(t["o_totalprice"]).to_numpy(),
+            }
+        )
+        for s in ("F", "O", "P"):
+            m = df["status"] == s
+            df[f"n_{s.lower()}"] = m.astype("int64")
+            df[f"rev_{s.lower()}_c"] = df["price_c"].where(m, 0)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_f=("n_f", "sum"), n_o=("n_o", "sum"), n_p=("n_p", "sum"),
+            rev_f_c=("rev_f_c", "sum"), rev_o_c=("rev_o_c", "sum"),
+            rev_p_c=("rev_p_c", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_f", alias_name="n_f"), Sum("n_o", alias_name="n_o"),
+            Sum("n_p", alias_name="n_p"),
+            Sum("rev_f_c", alias_name="rev_f_c"),
+            Sum("rev_o_c", alias_name="rev_o_c"),
+            Sum("rev_p_c", alias_name="rev_p_c"),
+        )
+    )
+    df = out.to_pandas()
+    for s in ("f", "o", "p"):
+        df[f"rev_{s}"] = df[f"rev_{s}_c"] / 100.0
+        df[f"n_{s}"] = df[f"n_{s}"].astype("int64")
+    return (
+        df[["c_mktsegment", "n_f", "n_o", "n_p", "rev_f", "rev_o", "rev_p"]]
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
+def value_spread_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped sample standard deviation / variance via the (n, sum, sumsq)
+    partial decomposition — the classic distributive-aggregate shape: any
+    number of blocks combine by plain addition, one tiny final map."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False), "v": v, "v2": v * v}
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("s2", alias_name="s2"))
+    )
+    df = agg.to_pandas()
+    n = df["n"].to_numpy().astype(np.float64)
+    var = (df["s2"].to_numpy() - df["s"].to_numpy() ** 2 / n) / (n - 1)
+    df["var_value"] = np.round(var, 4)
+    df["stddev_value"] = np.round(np.sqrt(var), 4)
+    df["n"] = df["n"].astype("int64")
+    return (
+        df[["event_type", "n", "var_value", "stddev_value"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def doc_char_histogram(sf_dir: str, width: int = 500) -> pd.DataFrame:
+    """Fixed-width histogram of document lengths (corpus profiling step):
+    vectorized bucket assignment per batch, grouped count — the profile every
+    curation run starts with."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.multiply(
+            pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()), width)),
+            width,
+        )
+        return pa.table({"bucket_lo": pc.cast(b, pa.int64())})
+
+    out = ds.map_batches(bucketize, batch_format="pyarrow").groupby(
+        "bucket_lo"
+    ).aggregate(Count(alias_name="n_docs"))
+    df = out.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values("bucket_lo").reset_index(drop=True)

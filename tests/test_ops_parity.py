@@ -77,6 +77,12 @@ def assert_parity(ray_df, sql: str):
         "lineitem_rollup",
         "median_value_by_type",
         "brand_top_parts",
+        "user_funnel_counts",
+        "daily_active_users",
+        "cohort_retention_7d",
+        "segment_status_pivot",
+        "value_spread_by_type",
+        "doc_char_histogram",
         "doc_top_bigrams",
         "doc_source_cap",
         "doc_contamination",
