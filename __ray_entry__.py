@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_cap": T.source_cap,
         # eval-set leakage screen (broadcast pattern list, vectorized regex)
         "doc_contamination": T.contamination_screen,
+        # deterministic stratified sampling (salted hash, no exchange)
+        "doc_hash_sample": T.hash_sample,
         # --- multimodal plumbing (image/audio/video frame-sample; fake
         # codecs, real Ray actor-pool stages; in-process spot-decode asserts)
         "multimodal_media_features": M.multimodal_media_features,  # rows-only

@@ -578,6 +578,14 @@ TRAINING_SQL: dict[str, str] = {
         FROM dims d JOIN cnt c USING (label)
         GROUP BY c.label, c.n
     """,
+    # deterministic stratified sampler: salted-md5 bucket < per-lang rate
+    # (the literal rates mirror canal_ray.ops.text.SAMPLE_RATE_PCT)
+    "doc_hash_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % 100
+              < CASE lang WHEN 'en' THEN 30 ELSE 80 END
+    """,
     "doc_char_histogram": """
         SELECT CAST(floor(n_chars / 500.0) * 500 AS BIGINT) AS bucket_lo,
                count(*) AS n_docs

@@ -280,3 +280,42 @@ def contamination_screen(sf_dir: str) -> pd.DataFrame:
         )
 
     return ds.map_batches(screen, batch_format="pandas").to_pandas()
+
+
+# per-language keep rates (percent) for the stratified sampler: cap the
+# dominant language, keep the tails dense — the standard "rebalance the
+# language mix" curation step. Literal shared with the SQL oracle.
+SAMPLE_RATE_PCT = {"en": 30}
+SAMPLE_RATE_DEFAULT_PCT = 80
+SAMPLE_SALT = "v1|"
+
+
+def hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified document sampling: keep a doc iff
+    ``md5(salt + doc_id) % 100 < rate(lang)`` — seeded by the salt, stable
+    across runs/engines (no RNG state to coordinate), embarrassingly
+    parallel (pure per-row filter, NO exchange at all). The md5 keeps the
+    op byte-identical to the DuckDB oracle; the scale default would swap in
+    a vectorized 64-bit mixer exactly like doc_fingerprints/_fast_hash."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(f"{SAMPLE_SALT}{d}".encode()).hexdigest()[:16], 16) % 100
+                for d in b["doc_id"]
+            ),
+            dtype=np.int64,
+            count=len(b),
+        )
+        rates = (
+            b["lang"]
+            .map(SAMPLE_RATE_PCT)
+            .fillna(SAMPLE_RATE_DEFAULT_PCT)
+            .to_numpy(dtype=np.int64)
+        )
+        return b[buckets < rates][["doc_id", "lang"]]
+
+    return ds.map_batches(sample, batch_format="pandas").to_pandas()

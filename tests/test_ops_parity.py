@@ -86,6 +86,7 @@ def assert_parity(ray_df, sql: str):
         "doc_top_bigrams",
         "doc_source_cap",
         "doc_contamination",
+        "doc_hash_sample",
         "doc_exact_dedup",
         "doc_jaccard_exact_pairs",
         "doc_jaccard_dedup_keep",
