@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": T.contamination_screen,
         # deterministic stratified sampling (salted hash, no exchange)
         "doc_hash_sample": T.hash_sample,
+        # deny-list scrub (the PII-redaction machinery, vectorized regex)
+        "doc_token_scrub": T.token_scrub,
+        # concat-and-chunk sequence packing (distributed token prefix-sum)
+        "doc_seq_pack": T.seq_pack,
         # --- multimodal plumbing (image/audio/video frame-sample; fake
         # codecs, real Ray actor-pool stages; in-process spot-decode asserts)
         "multimodal_media_features": M.multimodal_media_features,  # rows-only

@@ -578,6 +578,37 @@ TRAINING_SQL: dict[str, str] = {
         FROM dims d JOIN cnt c USING (label)
         GROUP BY c.label, c.n
     """,
+    # deny-list scrub (PII-redaction machinery): RE2 and Python 're' agree
+    # on \b word boundaries for these literal alternates
+    "doc_token_scrub": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\b(key|table|row)\\b'))
+                    AS BIGINT) AS n_redactions,
+               md5(regexp_replace(text, '\\b(key|table|row)\\b', '<MASK>', 'g'))
+                   AS scrubbed_md5
+        FROM documents
+    """,
+    # concat-and-chunk sequence packing: global token prefix-sum in doc_id
+    # order, window id = offset // cap (cap mirrors text.PACK_CAP)
+    "doc_seq_pack": """
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(off // 256 AS BIGINT) AS seq_id,
+               CAST(off % 256 AS BIGINT) AS offset_in_seq
+        FROM c ORDER BY doc_id
+    """,
     # deterministic stratified sampler: salted-md5 bucket < per-lang rate
     # (the literal rates mirror canal_ray.ops.text.SAMPLE_RATE_PCT)
     "doc_hash_sample": """

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 # shared with the SQL oracle — keep lists identical
 STOPWORDS = ("a", "the", "key", "row", "value", "table")
@@ -319,3 +320,103 @@ def hash_sample(sf_dir: str) -> pd.DataFrame:
         return b[buckets < rates][["doc_id", "lang"]]
 
     return ds.map_batches(sample, batch_format="pandas").to_pandas()
+
+
+# deny-list scrub (the PII-redaction machinery: vectorized regexp_replace +
+# match counting; this corpus has no digits/emails, so the deny-list stands
+# in for the PII pattern table — the op is the same code path)
+SCRUB_PATTERN = r"\b(key|table|row)\b"
+SCRUB_MASK = "<MASK>"
+
+
+def token_scrub(sf_dir: str) -> pd.DataFrame:
+    """Redaction pass: mask every deny-listed token, count redactions, and
+    fingerprint the scrubbed text (md5) so the full output stays narrow.
+    One vectorized regex replace + one count per batch — the exact shape of
+    a PII scrub over 100 TB (pattern broadcast in the closure, no exchange)."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.count(SCRUB_PATTERN).astype("int64")
+        red = b["text"].str.replace(SCRUB_PATTERN, SCRUB_MASK, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_redactions": n,
+                "scrubbed_md5": red.map(lambda t: hashlib.md5(t.encode()).hexdigest()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas").to_pandas()
+
+
+# context-window capacity (tokens) for sequence packing
+PACK_CAP = 256
+_PACK_SHARDS = 32
+
+
+def seq_pack(sf_dir: str) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pretraining
+    step): documents concatenated in doc_id order and split into
+    ``PACK_CAP``-token context windows; each doc reports its window id and
+    intra-window offset.
+
+    The global token prefix-sum is computed distributed, two-stage:
+      1. slim per-doc (doc_id, n_tokens) table (map_batches, token rule
+         identical to token_stats);
+      2. per-range-shard token totals -> tiny driver-side cumsum over
+         ``_PACK_SHARDS`` rows -> broadcast base offsets;
+      3. within-shard ordered cumsum + base (groupby(shard).map_groups).
+    Only the slim 16-byte/doc intermediate is materialized (bounded; at
+    10^10 docs it would instead persist as a parquet side table), and the
+    driver ever sees ``_PACK_SHARDS`` partial sums, never rows."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.strip().str.split().map(lambda ws: ws if ws else [""])
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "n_tokens": toks.str.len().astype("int64")}
+        )
+
+    slim = ds.map_batches(tok_counts, batch_format="pandas").materialize()
+    lo = slim.min("doc_id")
+    hi = slim.max("doc_id")
+    span = max(1, (hi - lo + _PACK_SHARDS) // _PACK_SHARDS)
+
+    def with_range_shard(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_shard=((b["doc_id"] - lo) // span).astype("int64"))
+
+    sharded = slim.map_batches(with_range_shard, batch_format="pandas")
+    totals = (
+        sharded.groupby("_shard")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()
+        .sort_values("_shard")
+    )
+    bases = dict(
+        zip(totals["_shard"], totals["total"].cumsum() - totals["total"])
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        off = int(bases[g["_shard"].iloc[0]]) + (
+            g["n_tokens"].cumsum() - g["n_tokens"]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "seq_id": (off // PACK_CAP).astype("int64"),
+                "offset_in_seq": (off % PACK_CAP).astype("int64"),
+            }
+        )
+
+    return (
+        sharded.groupby("_shard")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

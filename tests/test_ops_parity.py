@@ -87,6 +87,8 @@ def assert_parity(ray_df, sql: str):
         "doc_source_cap",
         "doc_contamination",
         "doc_hash_sample",
+        "doc_token_scrub",
+        "doc_seq_pack",
         "doc_exact_dedup",
         "doc_jaccard_exact_pairs",
         "doc_jaccard_dedup_keep",
