@@ -46,6 +46,14 @@ class DownstreamHandler:
     def after(self, epoch: int, manifest: dict) -> None:
         """Driver-side: the epoch's ack manifest is durable."""
 
+    def alarm(self, kind: str, detail: dict) -> None:
+        """Driver-side operational alert (``CanalAlarmHandler.sendAlarm``
+        analog, ``common/alarm/CanalAlarmHandler.java`` — default impl logs,
+        ``LogAlarmHandler``). Fired on poison-row quarantine and on cycle
+        failure (before the retry vote). Alarm delivery must never take the
+        pipeline down: exceptions raised here are swallowed with a warning,
+        exactly like an unreachable alerting endpoint."""
+
 
 def apply_before(handlers: tuple, batch: pa.Table) -> pa.Table:
     for h in handlers:
@@ -63,6 +71,17 @@ def want_retry(handlers: tuple, exc: Exception, attempt: int) -> bool:
 def fire_after(handlers: tuple, epoch: int, manifest: dict) -> None:
     for h in handlers:
         h.after(epoch, manifest)
+
+
+def fire_alarm(handlers: tuple, kind: str, detail: dict) -> None:
+    """Best-effort fan-out to every handler's alarm(); never raises."""
+    for h in handlers:
+        try:
+            h.alarm(kind, detail)
+        except Exception as exc:  # noqa: BLE001 — alarms must not kill apply
+            import warnings
+
+            warnings.warn(f"alarm handler {type(h).__name__} raised: {exc!r}")
 
 
 # ---------------------------------------------------------------- durability

@@ -474,8 +474,18 @@ class CdcJob:
                         schema, events = self._run_cycle(cycle, schema)
                         break
                     except Exception as exc:
-                        from canal_ray.handlers import want_retry
+                        from canal_ray.handlers import fire_alarm, want_retry
 
+                        if cfg.handlers:
+                            fire_alarm(
+                                cfg.handlers,
+                                "cycle_failure",
+                                {
+                                    "attempt": attempt,
+                                    "error": repr(exc),
+                                    "epochs": [e for e, _ in cycle],
+                                },
+                            )
                         if not cfg.handlers or not want_retry(cfg.handlers, exc, attempt):
                             raise
                         attempt += 1
@@ -780,8 +790,16 @@ class CdcJob:
             )
             self.store.write_epoch(epoch, manifest)
             if cfg.handlers:
-                from canal_ray.handlers import fire_after_durable
+                from canal_ray.handlers import fire_after_durable, fire_alarm
 
+                poison = int(sum(s.get("poison", 0) for s in ss))
+                if poison:
+                    # CanalAlarmHandler analog: quarantined rows are an
+                    # operational alert, not a replication failure
+                    fire_alarm(
+                        cfg.handlers, "poison_rows",
+                        {"epoch": epoch, "rows": poison},
+                    )
                 fire_after_durable(self.store, cfg.handlers, epoch, manifest)
         if frag_dir is not None:
             import shutil

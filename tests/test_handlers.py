@@ -182,3 +182,76 @@ def test_after_hook_at_least_once_across_crash(ray_session, fix, tmp_path):
     coll3 = _after_collector()
     CdcJob(_cfg(fix, str(tmp_path / "lake"), handlers=(coll3,))).run()
     assert coll3.acks == []
+
+
+def _alarm_collector(raise_on_alarm: bool = False) -> DownstreamHandler:
+    """Driver-side alarm() recorder (CanalAlarmHandler analog); optionally
+    raises to prove alarm delivery failures never kill the apply."""
+
+    class AlarmCollector(DownstreamHandler):
+        def __init__(self, boom: bool):
+            self.boom = boom
+            self.alarms: list[tuple[str, dict]] = []
+
+        def alarm(self, kind: str, detail: dict) -> None:
+            self.alarms.append((kind, dict(detail)))
+            if self.boom:
+                raise RuntimeError("alerting endpoint down")
+
+    return AlarmCollector(raise_on_alarm)
+
+
+def test_alarm_on_poison_rows(ray_session, tmp_path):
+    """Quarantined poison rows fire alarm('poison_rows') on the driver, and
+    a raising alarm handler is swallowed (replication must not depend on the
+    alerting endpoint)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_ray.loggen import EPOCH_MS, LOG_SCHEMA
+
+    d = str(tmp_path / "fix")
+    meta = generate_fixture(d, n_base=200, n_events=2_000, n_segments=2, seed=19)
+    # one un-castable numeric (stars) event in an appended segment
+    seg_dir = os.path.join(d, "binlog")
+    idx = len(os.listdir(seg_dir))
+    lsn = meta["last_lsn"] + 1
+    row = {
+        "lsn": lsn, "segment": idx, "txn_id": 10**6, "op": "UPDATE",
+        "schema_name": "mytest", "table_name": "repos",
+        "pk_repo": "org0/repo0", "pk_path": "src/m0/f0.py",
+        "cols": ["repo", "path", "commit", "lang", "content", "stars", "license"],
+        "vals": ["org0/repo0", "src/m0/f0.py", "c" * 40, "python", "x",
+                 "NOT_A_NUMBER", "mit"],
+        "ddl_sql": None, "execute_time": EPOCH_MS + lsn * 10,
+    }
+    pq.write_table(
+        pa.Table.from_pylist([row], schema=LOG_SCHEMA),
+        os.path.join(seg_dir, f"segment_{idx:05d}.parquet"),
+    )
+    coll = _alarm_collector(raise_on_alarm=True)
+    cfg = _cfg(d, str(tmp_path / "lake"), handlers=(coll,))
+    with pytest.warns(UserWarning, match="alarm handler"):
+        CdcJob(cfg).run()  # must complete despite the raising alarm hook
+    kinds = [k for k, _ in coll.alarms]
+    assert "poison_rows" in kinds
+    detail = dict(coll.alarms)[("poison_rows")]
+    assert detail["rows"] == 1 and detail["epoch"] >= 0
+
+
+def test_alarm_on_cycle_failure(ray_session, fix, tmp_path):
+    """A failing cycle fires alarm('cycle_failure') before the retry vote;
+    the retried run still converges to the oracle."""
+    flag = str(tmp_path / "chaos.flag")
+    open(flag, "w").close()
+    chaos = _chaos_handler(flag, vote_retry=True)
+    coll = _alarm_collector()
+    cfg = _cfg(fix, str(tmp_path / "lake"), handlers=(chaos, coll))
+    job = CdcJob(cfg)
+    job.run()
+    kinds = [k for k, _ in coll.alarms]
+    assert "cycle_failure" in kinds
+    d = [det for k, det in coll.alarms if k == "cycle_failure"][0]
+    # Ray wraps the worker exception (RayTaskError), so match the wrapper
+    assert d["error"] and d["epochs"]
+    assert state_digest(job.state_pandas()) == state_digest(_oracle(fix))
