@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cdc_connector_drain,
         cdc_derived_event_stats,
         cdc_flat_produce,
+        cdc_group_merge,
         cdc_metrics_stream,
         cdc_state_as_of,
         cdc_derived_lang_stats,
@@ -69,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Prometheus-collector surface: metrics stream deduped per the
         # at-least-once contract, cross-checked vs checkpoint manifests
         "cdc_metrics_stream": cdc_metrics_stream,  # rows-only
+        # sharded-source fan-in (GroupEventParser timeline-barrier analog):
+        # two shard logs merged, replayed, oracle-asserted in-process
+        "cdc_group_merge": cdc_group_merge,  # rows-only
         # --- CDC semantics over the events change stream -----------------
         "cdc_latest_state_by_user": R.latest_events_by_user,
         "cdc_event_type_stats": R.event_type_stats,

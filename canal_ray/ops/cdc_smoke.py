@@ -458,3 +458,76 @@ def cdc_metrics_stream(sf_dir: str) -> pd.DataFrame:
             f"metrics stream ({got}) disagrees with checkpoint manifests ({want})"
         )
     return out
+
+
+def cdc_group_merge(sf_dir: str) -> pd.DataFrame:
+    """Sharded-source fan-in through the driver gate (GroupEventParser /
+    GroupEventSink timeline-barrier analog, ``canal_ray.group``): two
+    deterministic shard logs k-way merged into one global stream, replayed
+    through the full engine, and asserted equal to the sequential oracle
+    over the merged log on every call. Returns per-op event counts of the
+    merged stream plus the final lake row count. Rows-only at the driver;
+    self-oracled in-process."""
+    import glob
+    import hashlib
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.group import merge_shard_logs
+    from canal_ray.loggen import generate_fixture
+    from canal_ray.oracle import replay_oracle, state_digest
+    from canal_ray.pipeline import CdcJob
+    from canal_ray.sink import DELTA_FORMAT_VERSION
+
+    params = dict(n_base=400, n_events=6_000, n_segments=4)
+    root = "/tmp/canal_ray_group"
+    shards, metas = [], []
+    for i, seed in enumerate((41, 43)):
+        d = os.path.join(root, f"shard{i}")
+        metas.append(generate_fixture(d, seed=seed, **params))
+        shards.append(d)
+    key = hashlib.sha256(
+        _json.dumps(
+            [[m["params"] for m in metas], DELTA_FORMAT_VERSION], sort_keys=True
+        ).encode()
+    ).hexdigest()[:12]
+    merged = os.path.join(root, f"merged_{key}")
+    if not os.path.isdir(os.path.join(merged, "binlog")):
+        merge_shard_logs(shards, merged)
+    # base-less replay: shard bases collide at glsn 0 (see
+    # tests/test_tail_and_group.py for why a merged base is ambiguous)
+    os.makedirs(os.path.join(merged, "base"), exist_ok=True)
+    base = os.path.join(merged, "base", "repos.parquet")
+    if not os.path.exists(base):
+        empty = pq.read_table(
+            os.path.join(shards[0], "base", "repos.parquet")
+        ).slice(0, 0)
+        pq.write_table(empty, base)
+
+    cfg = CdcConfig(
+        log_dir=os.path.join(merged, "binlog"),
+        lake_dir=os.path.join(merged, "lake"),
+        base_table=None, num_partitions=8, epoch_segments=2,
+    )
+    job = CdcJob(cfg)
+    job.run()  # fenced no-op when the merged lake is already complete
+    eng = job.state_pandas()
+    oracle_df, oracle_schema = replay_oracle(merged, list(cfg.initial_schema))
+    if state_digest(eng) != state_digest(oracle_df):
+        raise AssertionError("group-merged replay diverged from sequential oracle")
+    if job.final_schema() != oracle_schema:
+        raise AssertionError("group-merged schema diverged from oracle schema")
+
+    want: dict = {}
+    for seg in sorted(glob.glob(os.path.join(merged, "binlog", "*.parquet"))):
+        for op in pq.read_table(seg, columns=["op"])["op"].to_pylist():
+            want[op] = want.get(op, 0) + 1
+    out = (
+        pd.DataFrame({"op": list(want), "n_events": [want[k] for k in want]})
+        .sort_values("op")
+        .reset_index(drop=True)
+    )
+    out["final_rows"] = len(eng)
+    return out
