@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_status_pivot": R.segment_status_pivot,
         # grouped variance/stddev via (n, sum, sumsq) partials
         "value_spread_by_type": R.value_spread_by_type,
+        # non-equi range join (broadcast interval lookup vs SQL range join)
+        "value_band_stats": R.value_band_stats,
         # --- deduplication (training-data pipeline) ----------------------
         "doc_exact_dedup": D.exact_dedup,
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only

@@ -307,6 +307,17 @@ RELATIONAL_SQL: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
+    # non-equi range join against a literal band table (right-open [lo, hi);
+    # bands mirror canal_ray.ops.relational.VALUE_BANDS); Ray resolves the
+    # same join as a broadcast searchsorted — the oracle pins the semantics
+    "value_band_stats": """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('micro', 0.0, 5.0), ('small', 5.0, 25.0),
+            ('mid', 25.0, 100.0), ('large', 100.0, 1000.0))
+        SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band ORDER BY band
+    """,
     # sample variance/stddev via the (n, sum, sumsq) decomposition on both
     # sides so float association matches to the rounded digits
     "value_spread_by_type": """

@@ -973,3 +973,45 @@ def doc_char_histogram(sf_dir: str, width: int = 500) -> pd.DataFrame:
     df = out.to_pandas()
     df["n_docs"] = df["n_docs"].astype("int64")
     return df.sort_values("bucket_lo").reset_index(drop=True)
+
+
+# non-uniform value bands for the broadcast range join (shared literal with
+# the SQL oracle's VALUES table); right-open [lo, hi)
+VALUE_BANDS = [
+    ("micro", 0.0, 5.0),
+    ("small", 5.0, 25.0),
+    ("mid", 25.0, 100.0),
+    ("large", 100.0, 1000.0),
+]
+
+
+def value_band_stats(sf_dir: str) -> pd.DataFrame:
+    """Non-equi RANGE JOIN with a small side: events joined to a band table
+    on ``lo <= value < hi``, aggregated per band. The scale pattern for a
+    small-side interval join: the sorted band edges ride in the task closure
+    (broadcast once per worker) and each batch resolves its band with ONE
+    vectorized ``np.searchsorted`` — no shuffle for the join itself, only
+    the tiny grouped reduce moves. The oracle expresses the same thing as a
+    true non-equi JOIN so the semantics are pinned."""
+    edges = np.array([b[1] for b in VALUE_BANDS] + [VALUE_BANDS[-1][2]])
+    names = np.array([b[0] for b in VALUE_BANDS], dtype=object)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        idx = np.searchsorted(edges, v, side="right") - 1
+        ok = (idx >= 0) & (idx < len(names))
+        df = pd.DataFrame({"band": names[idx[ok]], "v": v[ok]})
+        g = df.groupby("band", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["sum_value"] = np.round(df["s"], 4)
+    return df[["band", "n", "sum_value"]].sort_values("band").reset_index(drop=True)

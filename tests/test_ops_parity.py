@@ -82,6 +82,7 @@ def assert_parity(ray_df, sql: str):
         "cohort_retention_7d",
         "segment_status_pivot",
         "value_spread_by_type",
+        "value_band_stats",
         "doc_char_histogram",
         "doc_top_bigrams",
         "doc_source_cap",
