@@ -1015,3 +1015,103 @@ def value_band_stats(sf_dir: str) -> pd.DataFrame:
     df["n"] = df["n"].astype("int64")
     df["sum_value"] = np.round(df["s"], 4)
     return df[["band", "n", "sum_value"]].sort_values("band").reset_index(drop=True)
+
+
+def approx_quantiles_by_type(sf_dir: str, n_buckets: int = 1024) -> pd.DataFrame:
+    """Approximate grouped quantiles via a mergeable histogram sketch — the
+    documented scale path of ``median_value_by_type`` (whose exact form
+    needs every group value co-located; beyond ~10^8 values/group that stops
+    fitting a worker).
+
+    Sketch: a fixed ``n_buckets`` equi-width histogram per group, range
+    pinned from parquet column statistics (no data read). Partials are
+    sparse (group, bucket, n) rows produced vectorized per batch
+    (np.bincount over codes); merging is plain addition — ONE tiny grouped
+    reduce over <= groups x buckets pre-reduced rows, never raw values.
+    The quantile interpolates within its bucket. Error contract: the
+    estimate's RANK is exact to within the bucket's occupancy (by
+    construction of the cumulative search); its VALUE error is that rank
+    slack times the local gap between order statistics — tight where data
+    is dense, loose in sparse tails (the standard histogram-sketch
+    trade-off; a KLL/t-digest narrows the tail at the same mergeability).
+    The in-process oracle asserts what can actually break distributed: the
+    merged sketch equals a sequential single-pass recompute EXACTLY
+    (bincount is integer addition — any partial lost, duplicated or
+    mis-merged by the exchange changes some bucket count)."""
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(f"{sf_dir}/events.parquet")
+    vi = pf.schema_arrow.get_field_index("value")
+    los, his = [], []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(vi).statistics
+        los.append(st.min)
+        his.append(st.max)
+    lo, hi = float(min(los)), float(max(his))
+    width = (hi - lo) / n_buckets or 1.0
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+        codes, uniques = pd.factorize(et)
+        b = np.clip(
+            ((t["value"].to_numpy() - lo) / width).astype(np.int64), 0, n_buckets - 1
+        )
+        flat = codes * n_buckets + b
+        cnt = np.bincount(flat, minlength=len(uniques) * n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "event_type": pa.array(uniques[nz // n_buckets]),
+                "bucket": pa.array((nz % n_buckets).astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |event_type| x n_buckets pre-reduced rows
+    )
+
+    out_rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("bucket")
+        cum = g["n"].cumsum().to_numpy()
+        total = cum[-1]
+        row = {"event_type": et}
+        for q, col in ((0.5, "median_approx"), (0.9, "p90_approx")):
+            target = q * total
+            i = int(np.searchsorted(cum, target))
+            b = int(g["bucket"].iloc[i])
+            prev = cum[i - 1] if i else 0
+            inbucket = (target - prev) / max(int(g["n"].iloc[i]), 1)
+            row[col] = round(lo + (b + inbucket) * width, 6)
+        out_rows.append(row)
+    out = pd.DataFrame(out_rows).sort_values("event_type").reset_index(drop=True)
+
+    # distributed-merge oracle: sequential single-pass recompute of the SAME
+    # sketch must match the merged distributed sketch bucket-for-bucket
+    # (driver-side full read is the TEST oracle only, not the scale path)
+    seq = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    codes, uniques = pd.factorize(seq["event_type"])
+    b = np.clip(((seq["value"].to_numpy() - lo) / width).astype(np.int64), 0, n_buckets - 1)
+    cnt = np.bincount(codes * n_buckets + b, minlength=len(uniques) * n_buckets)
+    nz = np.flatnonzero(cnt)
+    want = (
+        pd.DataFrame(
+            {
+                "event_type": uniques[nz // n_buckets],
+                "bucket": (nz % n_buckets).astype(np.int64),
+                "n": cnt[nz].astype(np.int64),
+            }
+        )
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+    got = hist.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    if not got[["event_type", "bucket", "n"]].astype({"n": "int64"}).equals(want):
+        raise AssertionError("distributed sketch diverged from sequential recompute")
+    return out

@@ -172,3 +172,21 @@ def test_ann_recall_report(ray_session):
     assert means["lsh"] >= 0.2
     per_q = df[df["query_id"] >= 0]
     assert ((per_q["recall"] >= 0.0) & (per_q["recall"] <= 1.0)).all()
+
+
+def test_approx_quantiles_track_exact(ray_session):
+    """The histogram-sketch quantiles run their own distributed-merge oracle
+    in-process; here additionally sanity-band them against the exact
+    quantile_cont values (loose: sparse-tail gaps are the sketch's
+    documented trade-off)."""
+    from canal_ray.ops.relational import approx_quantiles_by_type, median_value_by_type
+
+    sf = "/root/testdata/sf0.01"
+    approx = approx_quantiles_by_type(sf).set_index("event_type")
+    exact = median_value_by_type(sf).set_index("event_type")
+    assert set(approx.index) == set(exact.index)
+    for et in exact.index:
+        assert abs(approx.loc[et, "median_approx"] - exact.loc[et, "median_value"]) \
+            <= 0.05 * max(exact.loc[et, "median_value"], 1.0)
+        assert abs(approx.loc[et, "p90_approx"] - exact.loc[et, "p90_value"]) \
+            <= 0.05 * max(exact.loc[et, "p90_value"], 1.0)
