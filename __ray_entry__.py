@@ -101,8 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact grouped quantiles (median/p90, quantile_cont semantics)
         "median_value_by_type": R.median_value_by_type,
         # mergeable histogram-sketch quantiles (the 10^8-values/group scale
-        # path; asserts one-bucket tolerance vs exact in-process)
+        # path; merge-oracle + exact-tracking asserts in-process)
         "approx_quantiles_by_type": R.approx_quantiles_by_type,  # rows-only
+        # HyperLogLog distinct counts (fixed 2^p registers per group; merged
+        # registers + 3-sigma band asserted in-process)
+        "approx_distinct_users_by_type": R.approx_distinct_users_by_type,  # rows-only
         # grouped top-k after a fact-fact join (top parts per brand)
         "brand_top_parts": R.brand_top_parts,
         # ordered conversion funnel (strictly-after stage semantics)

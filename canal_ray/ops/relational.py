@@ -1115,3 +1115,96 @@ def approx_quantiles_by_type(sf_dir: str, n_buckets: int = 1024) -> pd.DataFrame
     if not got[["event_type", "bucket", "n"]].astype({"n": "int64"}).equals(want):
         raise AssertionError("distributed sketch diverged from sequential recompute")
     return out
+
+
+def approx_distinct_users_by_type(sf_dir: str, p_bits: int = 12) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT) via HyperLogLog — the cardinality-sketch
+    counterpart of ``approx_quantiles_by_type`` (exact distinct is
+    ``distinct_customers_per_status``'s dedup-then-count, whose exchange
+    moves one row per distinct pair; HLL moves a FIXED 2^p registers per
+    group regardless of cardinality — the 10^10-keys shape).
+
+    Registers are sparse (group, register, rank) rows maxed per batch
+    (vectorized: pandas groupby max over md5-derived 64-bit hashes), merged
+    by ONE grouped Max — elementwise register max is HLL's exact merge
+    operator, so distribution cannot change the estimate. Estimator uses
+    the standard bias-corrected harmonic mean + linear-counting small-range
+    correction (Flajolet et al. 2007, public algorithm). In-process oracle:
+    (a) merged registers equal a sequential recompute exactly, (b) the
+    estimate is within 3 standard errors (3 * 1.04/sqrt(2^p)) of the exact
+    distinct count computed distributed."""
+    import hashlib
+
+    m = 1 << p_bits
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def _registers(df: pd.DataFrame) -> pd.DataFrame:
+        # md5 -> 64-bit hash (stable across engines/runs; the scale default
+        # would swap a vectorized mixer exactly like dedup._fast_hash)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(u).encode()).hexdigest()[:16], 16)
+                for u in df["user_id"]
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        reg = (h >> np.uint64(64 - p_bits)).astype(np.int64)
+        rest = (h << np.uint64(p_bits)) & np.uint64((1 << 64) - 1)
+        # rank = position of first set bit in the remaining 64-p bits + 1
+        nz = rest != 0
+        rank = np.full(len(h), 64 - p_bits + 1, dtype=np.int64)
+        if nz.any():
+            # number of leading zeros of a uint64 via its bit length
+            bl = np.frompyfunc(int.bit_length, 1, 1)(rest[nz]).astype(np.int64)
+            rank[nz] = 64 - bl + 1
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "register": reg, "rank": rank}
+        )
+        return out.groupby(["event_type", "register"], as_index=False)["rank"].max()
+
+    merged = (
+        ds.map_batches(_registers, batch_format="pandas")
+        .groupby(["event_type", "register"])
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()  # <= groups x 2^p pre-reduced rows
+    )
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        regs = np.zeros(m)
+        regs[g["register"].to_numpy()] = g["rank"].to_numpy()
+        est = alpha * m * m / np.sum(2.0 ** -regs)
+        zeros = m - len(g)
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting, small range
+        rows.append({"event_type": et, "n_users_approx": int(round(est))})
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+    # oracle (a): merged registers == sequential recompute, bit for bit
+    seq = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    want = (
+        _registers(seq)
+        .sort_values(["event_type", "register"])
+        .reset_index(drop=True)
+    )
+    got = (
+        merged.astype({"rank": "int64"})
+        .sort_values(["event_type", "register"])
+        .reset_index(drop=True)[["event_type", "register", "rank"]]
+    )
+    if not got.equals(want):
+        raise AssertionError("merged HLL registers diverged from sequential recompute")
+    # oracle (b): within 3 standard errors of the exact distinct count
+    exact = (
+        seq.drop_duplicates()
+        .groupby("event_type")["user_id"]
+        .nunique()
+    )
+    for _, r in out.iterrows():
+        true = int(exact[r["event_type"]])
+        if abs(r["n_users_approx"] - true) > max(3 * 1.04 / np.sqrt(m) * true, 3):
+            raise AssertionError("HLL estimate outside 3-sigma band")
+    return out

@@ -190,3 +190,21 @@ def test_approx_quantiles_track_exact(ray_session):
             <= 0.05 * max(exact.loc[et, "median_value"], 1.0)
         assert abs(approx.loc[et, "p90_approx"] - exact.loc[et, "p90_value"]) \
             <= 0.05 * max(exact.loc[et, "p90_value"], 1.0)
+
+
+def test_hll_distinct_tracks_exact(ray_session):
+    """HLL runs its register-merge + 3-sigma oracles in-process; here
+    additionally pin the small-range regime: with ~150 true distinct users
+    and 4096 registers the linear-counting estimate must land within 5%."""
+    from canal_ray.ops.relational import approx_distinct_users_by_type
+
+    sf = "/root/testdata/sf0.01"
+    approx = approx_distinct_users_by_type(sf).set_index("event_type")
+    exact = (
+        pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "user_id"])
+        .groupby("event_type")["user_id"]
+        .nunique()
+    )
+    for et in exact.index:
+        assert abs(int(approx.loc[et, "n_users_approx"]) - int(exact[et])) \
+            <= max(0.05 * exact[et], 2)
