@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigrams": T.top_bigrams,
         # corpus length profile (fixed-width histogram, SQL-oracled)
         "doc_char_histogram": R.doc_char_histogram,
+        # Misra-Gries heavy-hitters sketch (bounded exchange, self-reported
+        # error bound; exact-top-5-subset + bound asserted in-process)
+        "doc_top_bigrams_sketch": T.top_bigrams_sketch,  # rows-only
         # per-(lang, source) downsampling cap (partial cap per batch -> one
         # bounded exchange; the "cap the dominant crawl" curation step)
         "doc_source_cap": T.source_cap,

@@ -208,3 +208,33 @@ def test_hll_distinct_tracks_exact(ray_session):
     for et in exact.index:
         assert abs(int(approx.loc[et, "n_users_approx"]) - int(exact[et])) \
             <= max(0.05 * exact[et], 2)
+
+
+def test_mg_sketch_finds_planted_heavy_hitter(ray_session, tmp_path):
+    """A corpus with one planted dominant bigram (share >> 1/k): the
+    Misra-Gries sketch must rank it #1 and its self-reported undercount
+    bound must hold vs the exact count."""
+    from canal_ray.ops.text import top_bigrams_sketch
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(200):
+        toks = rng.choice(vocab, size=50, replace=True).tolist()
+        # plant "alpha beta" ~8 times per doc (~14% of all bigrams)
+        for j in range(3, 50, 6):
+            toks[j - 1], toks[j] = "alpha", "beta"
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = top_bigrams_sketch(str(tmp_path))
+    assert out["bigram"].iloc[0] == "alpha beta"
+    exact = sum(
+        1
+        for t in df["text"]
+        for a, b in zip(t.split(), t.split()[1:])
+        if (a, b) == ("alpha", "beta")
+    )
+    assert 0 <= exact - int(out["n_approx"].iloc[0]) <= int(out["max_undercount"].iloc[0])
