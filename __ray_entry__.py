@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_report": A.ann_recall_report,  # rows-only
 
         "label_centroid_norms": A.label_centroid_norms,
+        # nearest-centroid assignment (Lloyd E-step; broadcast matmul vs
+        # SQL cross-join argmax)
+        "embedding_cluster_assign": A.embedding_cluster_assign,
     }
 
 

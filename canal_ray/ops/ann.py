@@ -450,3 +450,45 @@ def ann_recall_report(sf_dir: str, k: int = 10, n_queries: int = 8) -> pd.DataFr
         .sort_values(["method", "query_id"])
         .reset_index(drop=True)
     )
+
+
+def embedding_cluster_assign(sf_dir: str, n_centroids: int = 8) -> pd.DataFrame:
+    """Nearest-centroid assignment (one Lloyd E-step, the building block of
+    distributed k-means / IVF training): every embedding assigned to its
+    max-cosine centroid. Centroids are the deterministic seed set
+    ``vec_id < n_centroids`` (the same convention as ``_load_queries``), so
+    BOTH sides of the oracle compute the identical assignment — DuckDB
+    expresses it as a cross join + QUALIFY argmax, Ray as ONE broadcast
+    matmul + argmax per batch: no join shuffle, no per-row Python.
+    Tie-break: lowest centroid id (ties are measure-zero for real data but
+    the rule is pinned anyway)."""
+    cref = ray.put(_load_queries(sf_dir, n_centroids))
+
+    class Assigner:
+        def __init__(self, cref):
+            self.cids, self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = _matrix(batch["embedding"])
+            S = M @ self.C.T  # (b, n_centroids)
+            best = np.argmax(S, axis=1)  # first (lowest id) wins ties
+            # similarity itself is excluded from the output: DuckDB's
+            # list_cosine_similarity is float32 and its repr diverges from
+            # the float64 matmul in the last digits — the discrete
+            # assignment is the (robust) contract
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    "centroid_id": self.cids[best],
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = ds.map_batches(
+        Assigner, fn_constructor_args=(cref,), batch_format="pandas", concurrency=2
+    ).to_pandas()
+    return (
+        df.astype({"vec_id": "int64", "centroid_id": "int64"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )

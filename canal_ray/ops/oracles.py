@@ -571,6 +571,22 @@ TRAINING_SQL: dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
     """,
+    # nearest-centroid assignment (one Lloyd E-step): centroids are the
+    # deterministic seed set vec_id < 8, assignment = argmax cosine with
+    # lowest-centroid-id tie-break — the Ray side is one broadcast matmul
+    "embedding_cluster_assign": """
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS ce
+            FROM embeddings WHERE vec_id < 8
+        )
+        SELECT e.vec_id, centroid_id
+        FROM embeddings e CROSS JOIN c
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, centroid_id
+        ) = 1
+        ORDER BY e.vec_id
+    """,
     "label_centroid_norms": """
         WITH dims AS (
             SELECT label, i, sum(v) AS s

@@ -101,6 +101,7 @@ def assert_parity(ray_df, sql: str):
         "ann_cosine_topk",
         "embedding_neardup_pairs",
         "label_centroid_norms",
+        "embedding_cluster_assign",
     ],
 )
 def test_relational_parity(ray_session, name):
