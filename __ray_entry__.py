@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nearest-centroid assignment (Lloyd E-step; broadcast matmul vs
         # SQL cross-join argmax)
         "embedding_cluster_assign": A.embedding_cluster_assign,
+        # full distributed k-means (iterative-algorithm shape: fused E+M
+        # pass per round, k x d partial sums, driver holds only centroids;
+        # sequential-Lloyd assignment oracle in-process)
+        "embedding_kmeans": A.embedding_kmeans,  # rows-only
     }
 
 

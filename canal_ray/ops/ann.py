@@ -492,3 +492,128 @@ def embedding_cluster_assign(sf_dir: str, n_centroids: int = 8) -> pd.DataFrame:
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def embedding_kmeans(
+    sf_dir: str, n_centroids: int = 8, n_iters: int = 3
+) -> pd.DataFrame:
+    """Distributed k-means (full Lloyd loop, ``n_iters`` rounds) — the
+    iterative-algorithm shape on Ray Data: per round, an E-step assignment
+    (broadcast-centroid matmul per batch, like ``embedding_cluster_assign``)
+    fused with M-step PARTIAL sums in the same pass, one tiny grouped
+    reduce over (centroid, dim) rows (<= k x d, never corpus-scale), and a
+    driver-side centroid update (k x d doubles — bounded state, the only
+    thing that legitimately lives on the driver in an iterative loop).
+    Initialization is the deterministic seed set ``vec_id < k`` on the
+    cosine sphere; all arithmetic float64.
+
+    In-process oracle on every call: a sequential numpy recompute of the
+    identical algorithm must reach the SAME final assignment. Cross-batch
+    float64 sums can differ from the sequential order by ulps (commutative
+    but not associative), so the DISCRETE assignment — robust unless two
+    centroids tie within that ulp noise, which real embeddings never do —
+    is the contract, exactly like ``embedding_cluster_assign``."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    cids, C = _load_queries(sf_dir, n_centroids)  # unit-norm float64 seeds
+
+    class EMStep:
+        """One fused E+M pass: per-batch assignment + (centroid, dim)
+        partial sums and counts."""
+
+        def __init__(self, cref):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = _matrix(batch["embedding"])
+            best = np.argmax(M @ self.C.T, axis=1)
+            d = M.shape[1]
+            k = self.C.shape[0]
+            sums = np.zeros((k, d))
+            np.add.at(sums, best, M)
+            counts = np.bincount(best, minlength=k).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            return pd.DataFrame(
+                {
+                    "centroid": np.repeat(nz, d),
+                    "dim": np.tile(np.arange(d, dtype=np.int64), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "n": np.repeat(counts[nz], d),
+                }
+            )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    for _ in range(n_iters):
+        cref = ray.put(C)
+        part = (
+            ds.map_batches(
+                EMStep, fn_constructor_args=(cref,), batch_format="pandas",
+                concurrency=2,
+            )
+            .groupby(["centroid", "dim"])
+            .aggregate(_Sum("s", alias_name="s"), _Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        # driver-side update over <= k x d rows: mean on the sphere
+        # (deterministic order: sort then pivot single-threaded)
+        part = part.sort_values(["centroid", "dim"])
+        newC = C.copy()
+        for c, g in part.groupby("centroid"):
+            v = g["s"].to_numpy() / int(g["n"].iloc[0])
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                newC[int(c)] = v / nrm
+        C = newC
+
+    # final assignment with converged centroids
+    cref = ray.put((cids, C))
+
+    class FinalAssign:
+        def __init__(self, cref):
+            self.cids, self.C = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            M = _matrix(batch["embedding"])
+            best = np.argmax(M @ self.C.T, axis=1)
+            return pd.DataFrame(
+                {"vec_id": batch["vec_id"].to_numpy(), "centroid_id": self.cids[best]}
+            )
+
+    assign = (
+        ds.map_batches(
+            FinalAssign, fn_constructor_args=(cref,), batch_format="pandas",
+            concurrency=2,
+        )
+        .to_pandas()
+        .astype({"vec_id": "int64", "centroid_id": "int64"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # ------- sequential oracle: identical algorithm, single process -------
+    full = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    full = full.sort_values("vec_id").reset_index(drop=True)
+    X = _matrix(full["embedding"])
+    _, C2 = _load_queries(sf_dir, n_centroids)
+    for _ in range(n_iters):
+        best = np.argmax(X @ C2.T, axis=1)
+        for c in range(n_centroids):
+            m = best == c
+            if m.any():
+                v = X[m].sum(axis=0) / int(m.sum())
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    C2[c] = v / nrm
+    want = cids[np.argmax(X @ C2.T, axis=1)]
+    got = assign.set_index("vec_id").loc[full["vec_id"]]["centroid_id"].to_numpy()
+    if not np.array_equal(got, want):
+        raise AssertionError("distributed k-means diverged from sequential Lloyd")
+
+    out = (
+        assign.groupby("centroid_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_members"})
+    )
+    out["n_members"] = out["n_members"].astype("int64")
+    return out.sort_values("centroid_id").reset_index(drop=True)

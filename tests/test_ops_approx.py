@@ -238,3 +238,15 @@ def test_mg_sketch_finds_planted_heavy_hitter(ray_session, tmp_path):
         if (a, b) == ("alpha", "beta")
     )
     assert 0 <= exact - int(out["n_approx"].iloc[0]) <= int(out["max_undercount"].iloc[0])
+
+
+def test_kmeans_partitions_all_vectors(ray_session):
+    """Distributed Lloyd runs its sequential-recompute assignment oracle
+    in-process; here pin the partition property: every vector lands in
+    exactly one of the k clusters."""
+    from canal_ray.ops.ann import embedding_kmeans
+
+    out = embedding_kmeans("/root/testdata/sf0.01")
+    assert len(out) == 8
+    assert int(out["n_members"].sum()) == 500
+    assert (out["n_members"] > 0).all()
