@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigrams": T.top_bigrams,
         # corpus length profile (fixed-width histogram, SQL-oracled)
         "doc_char_histogram": R.doc_char_histogram,
+        # document-frequency stats (the DF side of TF-IDF/BM25, SQL-oracled)
+        "doc_term_df": T.term_doc_frequency,
         # Misra-Gries heavy-hitters sketch (bounded exchange, self-reported
         # error bound; exact-top-5-subset + bound asserted in-process)
         "doc_top_bigrams_sketch": T.top_bigrams_sketch,  # rows-only

@@ -605,6 +605,20 @@ TRAINING_SQL: dict[str, str] = {
         FROM dims d JOIN cnt c USING (label)
         GROUP BY c.label, c.n
     """,
+    # document-frequency side of TF-IDF/BM25 (all-integer; total order
+    # (df desc, term asc) makes LIMIT exact)
+    "doc_term_df": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        )
+        SELECT term,
+               count(DISTINCT doc_id)::BIGINT AS df,
+               count(*)::BIGINT AS total_tf
+        FROM toks GROUP BY term
+        ORDER BY df DESC, term LIMIT 20
+    """,
     # deny-list scrub (PII-redaction machinery): RE2 and Python 're' agree
     # on \b word boundaries for these literal alternates
     "doc_token_scrub": """

@@ -544,3 +544,50 @@ def top_bigrams_sketch(sf_dir: str, k_counters: int = 64, k_out: int = 10) -> pd
         if err < 0 or err > total_forgiven:
             raise AssertionError("sketch count outside Misra-Gries bound")
     return out
+
+
+def term_doc_frequency(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus term statistics — the document-frequency side of TF-IDF/BM25
+    (the IR weighting every retrieval-based curation step needs): for the
+    top-``k`` terms by document frequency, (term, df, total_tf). All-integer
+    arithmetic, so the SQL oracle matches exactly.
+
+    Scale shape: per-batch (term, n_docs, n_occurrences) partials from one
+    tokenization pass (docs deduped per term within the batch — the
+    combiner), ONE groupby(term) over partials, distributed sort + limit.
+    The vocabulary never assembles on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.strip().str.split().map(lambda ws: ws if ws else [""])
+        flat = pd.DataFrame(
+            {
+                "doc_id": np.repeat(b["doc_id"].to_numpy(), toks.str.len()),
+                "term": np.concatenate(toks.to_numpy()),
+            }
+        )
+        tf = flat.groupby("term", as_index=False).size().rename(columns={"size": "total_tf"})
+        df_ = (
+            flat.drop_duplicates()
+            .groupby("term", as_index=False)
+            .size()
+            .rename(columns={"size": "df"})
+        )
+        return tf.merge(df_, on="term").astype({"total_tf": "int64", "df": "int64"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("total_tf", alias_name="total_tf"), Sum("df", alias_name="df"))
+    )
+    out = (
+        agg.to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(k)
+        .astype({"total_tf": "int64", "df": "int64"})
+        .reset_index(drop=True)
+    )
+    return out[["term", "df", "total_tf"]]

@@ -85,6 +85,7 @@ def assert_parity(ray_df, sql: str):
         "value_band_stats",
         "doc_char_histogram",
         "doc_top_bigrams",
+        "doc_term_df",
         "doc_source_cap",
         "doc_contamination",
         "doc_hash_sample",
