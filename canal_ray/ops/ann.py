@@ -607,8 +607,18 @@ def embedding_kmeans(
                     C2[c] = v / nrm
     want = cids[np.argmax(X @ C2.T, axis=1)]
     got = assign.set_index("vec_id").loc[full["vec_id"]]["centroid_id"].to_numpy()
-    if not np.array_equal(got, want):
-        raise AssertionError("distributed k-means diverged from sequential Lloyd")
+    # tolerance: a ulp-level argmax tie in an INTERMEDIATE round (possible —
+    # cross-batch sum order is nondeterministic) moves two centroids by
+    # O(1/n) and can legitimately flip a handful of nearby assignments, so
+    # exact equality would be a spurious production crash. A real merge bug
+    # (lost/duplicated partials) scrambles assignments wholesale; 0.5%
+    # separates the two regimes cleanly.
+    mismatch = int((got != want).sum())
+    if mismatch > max(1, len(want) // 200):
+        raise AssertionError(
+            f"distributed k-means diverged from sequential Lloyd "
+            f"({mismatch}/{len(want)} assignments differ)"
+        )
 
     out = (
         assign.groupby("centroid_id", as_index=False)

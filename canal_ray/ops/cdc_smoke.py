@@ -494,7 +494,14 @@ def cdc_group_merge(sf_dir: str) -> pd.DataFrame:
         ).encode()
     ).hexdigest()[:12]
     merged = os.path.join(root, f"merged_{key}")
-    if not os.path.isdir(os.path.join(merged, "binlog")):
+    # a crash mid-merge leaves the directory present but incomplete (the
+    # merge writes segments as unordered tasks) — guard on the COUNT, like
+    # _evstream_job; merge_shard_logs replaces per segment, so re-running
+    # over a partial directory is idempotent
+    mdir = os.path.join(merged, "binlog")
+    if not os.path.isdir(mdir) or len(
+        [n for n in os.listdir(mdir) if n.endswith(".parquet")]
+    ) < params["n_segments"]:
         merge_shard_logs(shards, merged)
     # base-less replay: shard bases collide at glsn 0 (see
     # tests/test_tail_and_group.py for why a merged base is ambiguous)

@@ -1045,9 +1045,17 @@ def approx_quantiles_by_type(sf_dir: str, n_buckets: int = 1024) -> pd.DataFrame
     los, his = [], []
     for rg in range(pf.metadata.num_row_groups):
         st = pf.metadata.row_group(rg).column(vi).statistics
+        if st is None or st.min is None or st.max is None:
+            los, his = [], []  # stats disabled/partial -> range scan below
+            break
         los.append(st.min)
         his.append(st.max)
-    lo, hi = float(min(los)), float(max(his))
+    if los:
+        lo, hi = float(min(los)), float(max(his))
+    else:
+        # fallback: one cheap distributed min/max pass (column-pruned read)
+        rng_ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        lo, hi = float(rng_ds.min("value")), float(rng_ds.max("value"))
     width = (hi - lo) / n_buckets or 1.0
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])

@@ -170,14 +170,39 @@ def doc_fingerprints(sf_dir: str, hash_fn: str = "md5") -> pd.DataFrame:
     ).to_pandas()
 
 
+def _batch_bigram_counts(t):
+    """Vectorized in-batch bigram value_counts — the kernel SHARED by the
+    exact (``top_bigrams``) and sketch (``top_bigrams_sketch``) variants:
+    flatten the token list-array once, adjacent pairs via offset
+    arithmetic, each doc's LAST token masked so no cross-doc bigram forms.
+    Returns None when the batch yields no bigrams."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t["text"].combine_chunks()), r"\s+"
+    )
+    off = toks.offsets.to_numpy()
+    vals = toks.values
+    valid = np.ones(len(vals), dtype=bool)
+    ends = off[1:]
+    nz = ends[ends > 0] - 1  # each doc's last token: no successor
+    valid[nz] = False
+    left_idx = np.flatnonzero(valid)
+    if left_idx.size == 0:
+        return None
+    left = vals.take(pa.array(left_idx))
+    right = vals.take(pa.array(left_idx + 1))
+    return pc.binary_join_element_wise(left, right, " ").value_counts()
+
+
 def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Corpus-wide top-k word bigrams — the n-gram statistics pass of a
     training-data pipeline (e.g. contamination screens / boilerplate
     detection over public recipes).
 
-    Scale shape: per-batch bigram counting entirely in Arrow/numpy (flatten
-    the token list-array once; adjacent pairs via offset arithmetic — no
-    Python loop over rows), partial counts as a combiner, ONE
+    Scale shape: per-batch bigram counting entirely in Arrow/numpy
+    (``_batch_bigram_counts``), partial counts as a combiner, ONE
     groupby(bigram) over partial counts, then a distributed sort + limit k.
     Nothing corpus-sized touches the driver."""
     import pyarrow as pa
@@ -186,25 +211,12 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(t["text"].combine_chunks()), r"\s+"
-        )
-        off = toks.offsets.to_numpy()
-        vals = toks.values
-        valid = np.ones(len(vals), dtype=bool)
-        ends = off[1:]
-        nz = ends[ends > 0] - 1  # each doc's last token: no successor
-        valid[nz] = False
-        left_idx = np.flatnonzero(valid)
-        if left_idx.size == 0:
+        counts = _batch_bigram_counts(t)
+        if counts is None:
             return pa.table(
                 {"bigram": pa.array([], type=pa.string()),
                  "n": pa.array([], type=pa.int64())}
             )
-        left = vals.take(pa.array(left_idx))
-        right = vals.take(pa.array(left_idx + 1))
-        big = pc.binary_join_element_wise(left, right, " ")
-        counts = big.value_counts()
         return pa.table(
             {
                 "bigram": counts.field("values"),
@@ -445,26 +457,13 @@ def top_bigrams_sketch(sf_dir: str, k_counters: int = 64, k_out: int = 10) -> pd
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(t["text"].combine_chunks()), r"\s+"
-        )
-        off = toks.offsets.to_numpy()
-        vals = toks.values
-        valid = np.ones(len(vals), dtype=bool)
-        ends = off[1:]
-        nz = ends[ends > 0] - 1
-        valid[nz] = False
-        left_idx = np.flatnonzero(valid)
-        empty = pa.table(
-            {"bigram": pa.array([], type=pa.string()),
-             "n": pa.array([], type=pa.int64()),
-             "forgiven": pa.array([], type=pa.int64())}
-        )
-        if left_idx.size == 0:
-            return empty
-        left = vals.take(pa.array(left_idx))
-        right = vals.take(pa.array(left_idx + 1))
-        counts = pc.binary_join_element_wise(left, right, " ").value_counts()
+        counts = _batch_bigram_counts(t)
+        if counts is None:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "forgiven": pa.array([], type=pa.int64())}
+            )
         n = pc.cast(counts.field("counts"), pa.int64()).to_numpy()
         # Misra-Gries compression: subtract the (k+1)-th largest count.
         # One SENTINEL row per batch ("\x00forgiven") carries the cut, so
@@ -554,11 +553,9 @@ def term_doc_frequency(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     Scale shape: per-batch (term, n_docs, n_occurrences) partials from one
     tokenization pass (docs deduped per term within the batch — the
-    combiner), ONE groupby(term) over partials, distributed sort + limit.
-    The vocabulary never assembles on the driver."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    combiner; exact because a document never spans batches), ONE
+    groupby(term) over partials, distributed sort + limit. The vocabulary
+    never assembles on the driver."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -578,15 +575,13 @@ def term_doc_frequency(sf_dir: str, k: int = 20) -> pd.DataFrame:
         )
         return tf.merge(df_, on="term").astype({"total_tf": "int64", "df": "int64"})
 
-    agg = (
+    out = (
         ds.map_batches(partial, batch_format="pandas")
         .groupby("term")
         .aggregate(Sum("total_tf", alias_name="total_tf"), Sum("df", alias_name="df"))
-    )
-    out = (
-        agg.to_pandas()
-        .sort_values(["df", "term"], ascending=[False, True])
-        .head(k)
+        .sort(["df", "term"], descending=[True, False])  # distributed
+        .limit(k)
+        .to_pandas()
         .astype({"total_tf": "int64", "df": "int64"})
         .reset_index(drop=True)
     )
