@@ -517,47 +517,50 @@ def embedding_kmeans(
 
     cids, C = _load_queries(sf_dir, n_centroids)  # unit-norm float64 seeds
 
-    class EMStep:
+    from canal_ray.ops.util import cached_get
+
+    def em_step(batch: pd.DataFrame, cref) -> pd.DataFrame:
         """One fused E+M pass: per-batch assignment + (centroid, dim)
-        partial sums and counts."""
-
-        def __init__(self, cref):
-            self.C = ray.get(cref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            M = _matrix(batch["embedding"])
-            best = np.argmax(M @ self.C.T, axis=1)
-            d = M.shape[1]
-            k = self.C.shape[0]
-            sums = np.zeros((k, d))
-            np.add.at(sums, best, M)
-            counts = np.bincount(best, minlength=k).astype(np.int64)
-            nz = np.flatnonzero(counts)
-            return pd.DataFrame(
-                {
-                    "centroid": np.repeat(nz, d),
-                    "dim": np.tile(np.arange(d, dtype=np.int64), len(nz)),
-                    "s": sums[nz].ravel(),
-                    "n": np.repeat(counts[nz], d),
-                }
-            )
-
-    from ray.data.aggregate import Sum as _Sum
+        partial sums and counts. A stateless TASK stage (not an actor
+        pool): an iterative loop launches one pipeline per round, and
+        per-round actor-pool spin-up dwarfs the compute — the broadcast
+        centroids come via cached_get (fetched once per worker process,
+        the same pattern as the other broadcast task stages)."""
+        Cw = cached_get(cref)
+        M = _matrix(batch["embedding"])
+        best = np.argmax(M @ Cw.T, axis=1)
+        d = M.shape[1]
+        k = Cw.shape[0]
+        sums = np.zeros((k, d))
+        np.add.at(sums, best, M)
+        counts = np.bincount(best, minlength=k).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "centroid": np.repeat(nz, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(nz)),
+                "s": sums[nz].ravel(),
+                "n": np.repeat(counts[nz], d),
+            }
+        )
 
     for _ in range(n_iters):
         cref = ray.put(C)
+        # each block pre-reduces to <= k x d rows, so the merge input is
+        # n_blocks x k x d TINY rows — a driver-side pandas sum, NOT a Ray
+        # groupby: a distributed AllToAll costs a fixed multi-second setup
+        # per execution and an iterative loop pays it every round (measured
+        # 5s/round vs 0.5s for the whole pass). At extreme block counts the
+        # escalation is a tree-reduce (repartition to sqrt(n) then sum) —
+        # the driver only ever holds partials, never vectors.
+        part = ds.map_batches(
+            em_step, fn_kwargs={"cref": cref}, batch_format="pandas"
+        ).to_pandas()
         part = (
-            ds.map_batches(
-                EMStep, fn_constructor_args=(cref,), batch_format="pandas",
-                concurrency=2,
-            )
-            .groupby(["centroid", "dim"])
-            .aggregate(_Sum("s", alias_name="s"), _Sum("n", alias_name="n"))
-            .to_pandas()
+            part.groupby(["centroid", "dim"], as_index=False)
+            .agg(s=("s", "sum"), n=("n", "sum"))
+            .sort_values(["centroid", "dim"])
         )
-        # driver-side update over <= k x d rows: mean on the sphere
-        # (deterministic order: sort then pivot single-threaded)
-        part = part.sort_values(["centroid", "dim"])
         newC = C.copy()
         for c, g in part.groupby("centroid"):
             v = g["s"].to_numpy() / int(g["n"].iloc[0])
@@ -566,25 +569,19 @@ def embedding_kmeans(
                 newC[int(c)] = v / nrm
         C = newC
 
-    # final assignment with converged centroids
+    # final assignment with converged centroids (stateless task stage too)
     cref = ray.put((cids, C))
 
-    class FinalAssign:
-        def __init__(self, cref):
-            self.cids, self.C = ray.get(cref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            M = _matrix(batch["embedding"])
-            best = np.argmax(M @ self.C.T, axis=1)
-            return pd.DataFrame(
-                {"vec_id": batch["vec_id"].to_numpy(), "centroid_id": self.cids[best]}
-            )
+    def final_assign(batch: pd.DataFrame, cref) -> pd.DataFrame:
+        f_cids, Cw = cached_get(cref)
+        M = _matrix(batch["embedding"])
+        best = np.argmax(M @ Cw.T, axis=1)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(), "centroid_id": f_cids[best]}
+        )
 
     assign = (
-        ds.map_batches(
-            FinalAssign, fn_constructor_args=(cref,), batch_format="pandas",
-            concurrency=2,
-        )
+        ds.map_batches(final_assign, fn_kwargs={"cref": cref}, batch_format="pandas")
         .to_pandas()
         .astype({"vec_id": "int64", "centroid_id": "int64"})
         .sort_values("vec_id")
