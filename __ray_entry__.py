@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cdc_derived_event_stats,
         cdc_flat_produce,
         cdc_group_merge,
+        cdc_joined_derived_stats,
         cdc_metrics_stream,
         cdc_state_as_of,
         cdc_derived_lang_stats,
@@ -59,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # point-in-time state_as_of(lsn) read over the same replayed
         # stream — full SQL oracle (row_number cut + latest-per-key)
         "cdc_state_as_of": cdc_state_as_of,
+        # JOIN-TABLE derived maintenance (ESSyncService updateByQuery
+        # analog): group from a dimension stream, values from a fact
+        # stream, two co-partitioned lakes — full SQL oracle
+        "cdc_joined_derived_stats": cdc_joined_derived_stats,
         # row-level content predicate replay (aviator EL analog),
         # in-process filtered-oracle assert on every call
         "cdc_row_filter_smoke": cdc_row_filter_smoke,  # rows-only

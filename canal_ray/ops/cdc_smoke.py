@@ -538,3 +538,110 @@ def cdc_group_merge(sf_dir: str) -> pd.DataFrame:
     )
     out["final_rows"] = len(eng)
     return out
+
+
+def _evdim_job(sf_dir: str):
+    """DIMENSION stream for the join-derived path: the same registered
+    ``events`` ordering replayed as a (uid -> event_type) membership stream
+    into its OWN lake (co-partitioned with ``_evstream_job``'s fact lake:
+    same pk, same partition count). Cached/fenced like the fact lake."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.loggen import LOG_SCHEMA
+    from canal_ray.pipeline import CdcJob
+    from canal_ray.sink import DELTA_FORMAT_VERSION
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n = len(df)
+    key = hashlib.sha256(
+        f"{sf_dir}|{n}|{int(df['event_id'].iloc[-1]) if n else 0}|"
+        f"{DELTA_FORMAT_VERSION}|dim-v1".encode()
+    ).hexdigest()[:12]
+    root = f"/tmp/canal_ray_evdim_{key}"
+    log_dir = os.path.join(root, "binlog")
+    lake = os.path.join(root, "lake")
+
+    n_segments = 4
+    if not os.path.isdir(log_dir) or len(os.listdir(log_dir)) < n_segments:
+        os.makedirs(log_dir, exist_ok=True)
+        uid = df["user_id"].astype(str).to_numpy(dtype=object)
+        etype = df["event_type"].to_numpy(dtype=object)
+        lsn = np.arange(1, n + 1, dtype=np.int64)
+        bounds = np.linspace(0, n, n_segments + 1).astype(int)
+        for s in range(n_segments):
+            a, b = bounds[s], bounds[s + 1]
+            m = b - a
+            t = pa.table(
+                {
+                    "lsn": pa.array(lsn[a:b]),
+                    "segment": pa.array(np.full(m, s, dtype=np.int32)),
+                    "txn_id": pa.array(lsn[a:b]),
+                    "gtid": pa.nulls(m, type=pa.string()),
+                    "op": pa.array(["UPDATE"] * m),
+                    "schema_name": pa.array(["appdb"] * m),
+                    "table_name": pa.array(["user_dim"] * m),
+                    "pk_repo": pa.array(uid[a:b], type=pa.string()),
+                    "pk_path": pa.array([""] * m),
+                    "cols": pa.array(
+                        [["uid", "utag", "event_type"]] * m,
+                        type=pa.list_(pa.string()),
+                    ),
+                    "vals": pa.array(
+                        [[uid[i], "", etype[i]] for i in range(a, b)],
+                        type=pa.list_(pa.string()),
+                    ),
+                    "ddl_sql": pa.nulls(m, type=pa.string()),
+                    "execute_time": pa.array(
+                        df["ts"].iloc[a:b].astype("datetime64[ms]").to_numpy()
+                    ),
+                },
+                schema=LOG_SCHEMA,
+            )
+            pq.write_table(t, os.path.join(log_dir, f"segment_{s:05d}.parquet"))
+
+    cfg = CdcConfig(
+        log_dir=log_dir, lake_dir=lake,
+        schema_name="appdb", table_name="user_dim",
+        pk_columns=("uid", "utag"),
+        initial_schema=(("uid", "string"), ("utag", "string"), ("event_type", "string")),
+        table_filter=r"appdb\.user_dim",
+        num_partitions=8, epoch_segments=1,
+    )
+    job = CdcJob(cfg)
+    job.run()  # fenced no-op when the lake is already complete
+    return job
+
+
+def cdc_joined_derived_stats(sf_dir: str) -> pd.DataFrame:
+    """Join-table derived maintenance (the ESSyncService ``updateByQuery``
+    analog, ``canal_ray.derived_join``) with a FULL SQL oracle: the fact
+    stream (uid -> value_c) and the dimension stream (uid -> event_type)
+    replayed into two co-partitioned lakes, then the per-group aggregate is
+    maintained from the TWO change streams — a key whose dimension row
+    changes group moves its whole fact contribution. Verified in-process
+    against the full-join recompute on every call; the staged incremental
+    path (group moves between updates) is tests/test_derived_join.py."""
+    from canal_ray.derived_join import JoinedDerivedTable
+
+    fact_job, _ = _evstream_job(sf_dir)
+    dim_job = _evdim_job(sf_dir)
+
+    jd = JoinedDerivedTable(
+        fact_job, dim_job, "evt_stats_join", "event_type",
+        [("n_users", "count", None), ("total_value_c", "sum", "value_c")],
+    )
+    if os.path.exists(jd._cursor_path):  # exercise a fresh fold every call
+        os.unlink(jd._cursor_path)
+    inc = jd.update()
+    full = jd.recompute()
+    if not inc.reset_index(drop=True).equals(full.reset_index(drop=True)):
+        raise AssertionError("joined derived table diverged from full recompute")
+    return inc[["event_type", "n_users", "total_value_c"]]

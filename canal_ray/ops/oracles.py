@@ -45,6 +45,23 @@ RELATIONAL_SQL: dict[str, str] = {
         WHERE rn <= (SELECT CAST(floor(count(*) * 0.6) AS BIGINT) FROM events)
         QUALIFY row_number() OVER (PARTITION BY uid ORDER BY rn DESC) = 1
     """,
+    # join-table derived maintenance (updateByQuery analog): the dim stream
+    # assigns each user's LATEST event_type as the group; the fact stream
+    # carries the LATEST value_c — both latest-per-key over the same order
+    "cdc_joined_derived_stats": """
+        WITH latest AS (
+            SELECT user_id, event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS value_c
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
+        )
+        SELECT event_type,
+               count(*)                     AS n_users,
+               CAST(sum(value_c) AS BIGINT) AS total_value_c
+        FROM latest GROUP BY event_type
+    """,
     "cdc_event_type_stats": """
         SELECT event_type,
                count(*)               AS n,

@@ -54,6 +54,7 @@ def assert_parity(ray_df, sql: str):
     [
         "cdc_latest_state_by_user",
         "cdc_derived_event_stats",
+        "cdc_joined_derived_stats",
         "cdc_state_as_of",
         "cdc_event_type_stats",
         "cdc_hourly_event_counts",
