@@ -1172,11 +1172,17 @@ def approx_distinct_users_by_type(sf_dir: str, p_bits: int = 12) -> pd.DataFrame
         )
         return out.groupby(["event_type", "register"], as_index=False)["rank"].max()
 
+    # merge: each block pre-reduces to <= groups x 2^p register rows, and
+    # register-max is the textbook tree-reducible combine — a distributed
+    # hash groupby here pays Ray's fixed AllToAll setup on rows that a
+    # single pandas max folds in milliseconds (measured 13s vs 0.2s at
+    # sf0.1). Driver input is bounded by n_blocks x groups x 2^p; at
+    # extreme block counts the escalation is a tree of pairwise max merges.
     merged = (
         ds.map_batches(_registers, batch_format="pandas")
-        .groupby(["event_type", "register"])
-        .aggregate(Max("rank", alias_name="rank"))
-        .to_pandas()  # <= groups x 2^p pre-reduced rows
+        .to_pandas()
+        .groupby(["event_type", "register"], as_index=False)["rank"]
+        .max()
     )
 
     alpha = 0.7213 / (1 + 1.079 / m)
