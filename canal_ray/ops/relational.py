@@ -782,8 +782,13 @@ def user_funnel_counts(sf_dir: str) -> pd.DataFrame:
         )
 
     partials = ds.groupby("_shard").map_groups(per_shard, batch_format="pandas")
-    out = partials.groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
-    df = out.to_pandas()
+    # final fold: 3 rows x 64 shards of int counts — driver-side sum, not a
+    # second AllToAll (the shard groupby above is the one real exchange)
+    df = (
+        partials.to_pandas()
+        .groupby("stage", as_index=False)["n_users"]
+        .sum()
+    )
     df["n_users"] = df["n_users"].astype("int64")
     return df.sort_values("stage").reset_index(drop=True)
 
@@ -803,17 +808,21 @@ def daily_active_users(sf_dir: str) -> pd.DataFrame:
         ).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    deduped = (
+    # count per day WITHIN each shard group: a (day, user) pair always lands
+    # in its user's shard, so per-shard day-counts sum exactly — the final
+    # fold is days x shards small-int rows on the driver, not a second
+    # AllToAll after the dedup exchange
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["day", "user_id"])
+        return d.groupby("day", as_index=False).size().rename(columns={"size": "n_users"})
+
+    partials = (
         ds.map_batches(pairs, batch_format="pyarrow")
         .map_batches(_with_shard("user_id"), batch_format="pandas")
         .groupby("_shard")
-        .map_groups(
-            lambda g: g.drop_duplicates(subset=["day", "user_id"])[["day", "user_id"]],
-            batch_format="pandas",
-        )
+        .map_groups(dedup_count, batch_format="pandas")
     )
-    out = deduped.groupby("day").aggregate(Count(alias_name="n_users"))
-    df = out.to_pandas()
+    df = partials.to_pandas().groupby("day", as_index=False)["n_users"].sum()
     df["n_users"] = df["n_users"].astype("int64")
     return df.sort_values("day").reset_index(drop=True)
 
