@@ -847,24 +847,34 @@ def cohort_retention_7d(sf_dir: str) -> pd.DataFrame:
         .aggregate(Min("first_ts", alias_name="first_ts"), Max("last_ts", alias_name="last_ts"))
     )
 
-    def to_cohort(t: pa.Table) -> pa.Table:
+    def to_cohort_partial(t: pa.Table) -> pa.Table:
+        # reduce per-user rows to per-(cohort day) counts WITHIN the batch:
+        # the partial is <= distinct-days rows per block, so the final fold
+        # is a driver-side sum over days x blocks rows, not a second
+        # AllToAll (the per-user groupby above is the one real exchange)
         first = t["first_ts"]
         retained = pc.greater_equal(
             pc.milliseconds_between(first, t["last_ts"]), pa.scalar(7 * 86_400_000)
         )
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "cohort_day": pc.floor_temporal(first, unit="day"),
-                "retained": pc.cast(retained, pa.int64()),
+                "cohort_day": pc.floor_temporal(first, unit="day").to_numpy(
+                    zero_copy_only=False
+                ),
+                "retained": pc.cast(retained, pa.int64()).to_numpy(),
             }
         )
+        g = df.groupby("cohort_day", as_index=False).agg(
+            n_users=("retained", "size"), n_retained_7d=("retained", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        per_user.map_batches(to_cohort, batch_format="pyarrow")
-        .groupby("cohort_day")
-        .aggregate(Count(alias_name="n_users"), Sum("retained", alias_name="n_retained_7d"))
+    df = (
+        per_user.map_batches(to_cohort_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cohort_day", as_index=False)[["n_users", "n_retained_7d"]]
+        .sum()
     )
-    df = out.to_pandas()
     df["n_users"] = df["n_users"].astype("int64")
     df["n_retained_7d"] = df["n_retained_7d"].astype("int64")
     return df.sort_values("cohort_day").reset_index(drop=True)
@@ -907,18 +917,15 @@ def segment_status_pivot(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
+    # partials are <= |segments| rows per block (all-int): the final fold is
+    # a driver-side sum, not a second AllToAll after the join exchange
+    cols = ["n_f", "n_o", "n_p", "rev_f_c", "rev_o_c", "rev_p_c"]
+    df = (
         joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("n_f", alias_name="n_f"), Sum("n_o", alias_name="n_o"),
-            Sum("n_p", alias_name="n_p"),
-            Sum("rev_f_c", alias_name="rev_f_c"),
-            Sum("rev_o_c", alias_name="rev_o_c"),
-            Sum("rev_p_c", alias_name="rev_p_c"),
-        )
+        .to_pandas()
+        .groupby("c_mktsegment", as_index=False)[cols]
+        .sum()
     )
-    df = out.to_pandas()
     for s in ("f", "o", "p"):
         df[f"rev_{s}"] = df[f"rev_{s}_c"] / 100.0
         df[f"n_{s}"] = df[f"n_{s}"].astype("int64")
