@@ -133,3 +133,34 @@ def test_joined_derived_rejects_mispartitioned_lakes(ray_session, tmp_path):
     dim_job = CdcJob(_dim_cfg(root, f"{root}/dim_lake", num_partitions=8))
     with pytest.raises(ValueError, match="co-partition|num_partitions"):
         JoinedDerivedTable(fact_job, dim_job, "x", "grp", [("n", "count", None)])
+
+
+def test_joined_derived_crash_between_table_and_cursor(ray_session, tmp_path):
+    """A crash AFTER the versioned table write but BEFORE the cursor write
+    must be repaired by the next update(): the diff re-runs from the old 2D
+    cursor and rewrites the SAME target bytes (deterministic), so nothing
+    double-applies."""
+    root = str(tmp_path)
+    _write_segment(f"{root}/fact_log", 0,
+                   [_ins(1, "fact", "k1", 10), _ins(2, "fact", "k2", 20)])
+    _write_segment(f"{root}/dim_log", 0,
+                   [_ins(1, "dim", "k1", "g1"), _ins(2, "dim", "k2", "g2")])
+    fact_job = CdcJob(_fact_cfg(root, f"{root}/fact_lake"))
+    dim_job = CdcJob(_dim_cfg(root, f"{root}/dim_lake"))
+    fact_job.run()
+    dim_job.run()
+
+    jd = JoinedDerivedTable(
+        fact_job, dim_job, "grp_stats", "grp",
+        [("n_keys", "count", None), ("total_val", "sum", "val")],
+    )
+    want = jd.update()
+    # simulate the crash: versioned table exists, cursor write lost
+    os.unlink(jd._cursor_path)
+    assert jd.cursor() == (-1, -1)
+    again = jd.update()  # re-runs the fold from scratch, rewrites same file
+    assert again.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert jd.cursor() == (fact_job.store.last_complete_epoch(),
+                           dim_job.store.last_complete_epoch())
+    # and the stored table equals the computed one
+    assert jd.read().reset_index(drop=True).equals(want.reset_index(drop=True))
