@@ -90,6 +90,26 @@ def _contribution(
     return out.groupby(group_col, as_index=False, dropna=False).sum()
 
 
+def fold_group_table(
+    parts: pd.DataFrame, group_col: str, agg_names: list[str]
+) -> pd.DataFrame:
+    """Sum contributions per group, drop all-zero groups, stable order and
+    int64 dtypes — the one fold every derived table (single-stream and
+    joined) applies to (base + diffs) and to full recomputes."""
+    folded = parts.groupby(group_col, as_index=False, dropna=False)[agg_names].sum()
+    folded = folded[folded[agg_names].abs().sum(axis=1) > 0]
+    folded = folded.sort_values(group_col).reset_index(drop=True)
+    folded[agg_names] = folded[agg_names].astype("int64")
+    return folded
+
+
+def empty_group_table(group_col: str, aggs: list[AggSpec]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {group_col: pd.Series([], dtype=object)}
+        | {a: pd.Series([], dtype="int64") for a, _, _ in aggs}
+    )
+
+
 def _resolve_cols(schema: TableSchema, names: list[str]) -> dict[str, str | None]:
     """Spec name -> current active column name (None = dropped/unknown)."""
     out: dict[str, str | None] = {}
@@ -178,10 +198,7 @@ class DerivedTable:
 
         c = self.cursor()
         if c < 0 or not os.path.exists(self._table_path(c)):
-            return pd.DataFrame(
-                {self.group_col: pd.Series([], dtype=object)}
-                | {a: pd.Series([], dtype="int64") for a, _, _ in self.aggs}
-            )
+            return empty_group_table(self.group_col, self.aggs)
         return pq.read_table(self._table_path(c)).to_pandas()
 
     # ------------------------------------------------------------- update
@@ -247,12 +264,7 @@ class DerivedTable:
         if allparts.empty:
             folded = base
         else:
-            folded = allparts.groupby(
-                self.group_col, as_index=False, dropna=False
-            )[agg_names].sum()
-            folded = folded[folded[agg_names].abs().sum(axis=1) > 0]
-            folded = folded.sort_values(self.group_col).reset_index(drop=True)
-            folded[agg_names] = folded[agg_names].astype("int64")
+            folded = fold_group_table(allparts, self.group_col, agg_names)
         _atomic_write_parquet(
             pa.Table.from_pandas(folded, preserve_index=False),
             self._table_path(now),
@@ -292,8 +304,4 @@ class DerivedTable:
             schema, [self.group_col] + [c for _, _, c in self.aggs if c is not None]
         )
         full = _contribution(state, self.group_col, self.aggs, col_map)
-        agg_names = [a for a, _, _ in self.aggs]
-        full = full[full[agg_names].abs().sum(axis=1) > 0]
-        return full.sort_values(self.group_col).reset_index(drop=True).astype(
-            {a: "int64" for a in agg_names}
-        )
+        return fold_group_table(full, self.group_col, [a for a, _, _ in self.aggs])

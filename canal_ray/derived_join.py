@@ -21,10 +21,13 @@ row changes group, the key's whole fact contribution moves between groups.
 The per-partition lookups are LOCAL merges (``sink.merge_partition`` with
 an epoch cutoff) of the two co-partitioned lakes — exactly the shape of the
 adapter querying the source DB for the rows behind a changed document, but
-without leaving the partition. Per-update cost is O(touched keys), never
-O(either lake). Join semantics: INNER on the shared pk (a fact key with no
-dimension row contributes to no group), latest dim row wins (LWW — the
-merge already guarantees it).
+without leaving the partition. Cost per update: partitions with NO touched
+keys skip their merges entirely; a touched partition pays its partition-
+LOCAL base+delta LWW merge (I/O bounded by that partition, never a cross-
+partition shuffle) and then O(touched keys) join/aggregate work — the
+same cost shape as ``DerivedTable._partition_diff``. Join semantics:
+INNER on the shared pk (a fact key with no dimension row contributes to
+no group), latest dim row wins (LWW — the merge already guarantees it).
 
 DDL on either stream falls back to a bounded full recompute for that update
 (schema-fingerprint guard), mirroring the ES adapter's re-ETL on mapping
@@ -42,7 +45,13 @@ import ray
 
 from canal_ray.checkpoint import atomic_write_json, read_json
 from canal_ray.ddl import TableSchema
-from canal_ray.derived import AggSpec, _contribution, _resolve_cols
+from canal_ray.derived import (
+    AggSpec,
+    _contribution,
+    _resolve_cols,
+    empty_group_table,
+    fold_group_table,
+)
 from canal_ray.sink import (
     META_LSN,
     _atomic_write_parquet,
@@ -60,7 +69,6 @@ def _touched_keys(
     import pyarrow.parquet as pq
 
     touched: list[pd.DataFrame] = []
-    saw_truncate = False
     if os.path.isdir(part_dir):
         for name in sorted(os.listdir(part_dir)):
             if not (name.startswith("delta_e") and name.endswith(".parquet")):
@@ -69,10 +77,9 @@ def _touched_keys(
             if cursor < e <= now:
                 f = pq.ParquetFile(os.path.join(part_dir, name))
                 if b"truncate_lsn" in (f.schema_arrow.metadata or {}):
-                    saw_truncate = True
+                    # whole-partition diff — no point reading more keys
+                    return None, True
                 touched.append(f.read(columns=list(pk)).to_pandas())
-    if saw_truncate:
-        return None, True
     if not touched:
         return pd.DataFrame(columns=list(pk)), False
     return pd.concat(touched, ignore_index=True).drop_duplicates(), False
@@ -153,6 +160,21 @@ class JoinedDerivedTable:
                 f"({fc.num_partitions}/{fc.pk_columns} vs "
                 f"{dc.num_partitions}/{dc.pk_columns})"
             )
+        if any(c == group_col for _, _, c in aggs if c is not None):
+            # the group column is dim-owned by contract; an agg over a
+            # same-named FACT column would collide in the join and override
+            # the dim mapping — reject up front instead of a KeyError later
+            raise ValueError(
+                f"agg column {group_col!r} collides with the dim group column"
+            )
+        if fc.column_filter or dc.column_filter:
+            # column-filtered lakes write filtered deltas but unfiltered
+            # manifest schemas; the schema-diff guard and merges below would
+            # conform filtered-away columns to nulls (silent zero sums) —
+            # unsupported until the filtered schema is carried end to end
+            raise ValueError(
+                "JoinedDerivedTable does not support column_filter lakes"
+            )
         self.fact_job = fact_job
         self.dim_job = dim_job
         self.name = name
@@ -175,10 +197,7 @@ class JoinedDerivedTable:
         fe, de = self.cursor()
         path = self._table_path(fe, de)
         if fe < 0 or not os.path.exists(path):
-            return pd.DataFrame(
-                {self.group_col: pd.Series([], dtype=object)}
-                | {a: pd.Series([], dtype="int64") for a, _, _ in self.aggs}
-            )
+            return empty_group_table(self.group_col, self.aggs)
         return pq.read_table(path).to_pandas()
 
     # ------------------------------------------------------------- update
@@ -191,14 +210,20 @@ class JoinedDerivedTable:
         fact_cur, dim_cur = self.cursor()
         if fact_now <= fact_cur and dim_now <= dim_cur:
             return self.read()
+        if fact_now < 0 or dim_now < 0:
+            # one stream has no acked epochs yet: nothing joinable exists
+            # (inner-join semantics) — and no manifest schema to read either
+            return self.read()
 
-        fact_schema = self.fact_job.final_schema()
-        dim_schema = self.dim_job.final_schema()
+        fact_schema = self.fact_job._schema_at(fact_now)
+        dim_schema = self.dim_job._schema_at(dim_now)
         refresh = False
         if fact_cur >= 0:
             # DDL guard: any schema change on either stream since the cursor
             # -> bounded full refresh (the ES adapter's re-ETL on mapping
-            # change); fingerprints are cheap and DDL is rare
+            # change). Compare MANIFEST schemas on both ends — final_schema()
+            # on one side vs a manifest on the other would spuriously differ
+            # for any config that restricts the materialized schema
             refresh = (
                 fact_schema.fingerprint()
                 != self.fact_job._schema_at(fact_cur).fingerprint()
@@ -233,12 +258,7 @@ class JoinedDerivedTable:
             if allparts.empty:
                 folded = base
             else:
-                folded = allparts.groupby(
-                    self.group_col, as_index=False, dropna=False
-                )[agg_names].sum()
-                folded = folded[folded[agg_names].abs().sum(axis=1) > 0]
-                folded = folded.sort_values(self.group_col).reset_index(drop=True)
-                folded[agg_names] = folded[agg_names].astype("int64")
+                folded = fold_group_table(allparts, self.group_col, agg_names)
 
         _atomic_write_parquet(
             pa.Table.from_pandas(folded, preserve_index=False),
@@ -286,8 +306,4 @@ class JoinedDerivedTable:
             dim[pk + [dim_map[self.group_col]]], on=pk, how="inner"
         )
         full = _contribution(joined, self.group_col, self.aggs, col_map)
-        agg_names = [a for a, _, _ in self.aggs]
-        full = full[full[agg_names].abs().sum(axis=1) > 0]
-        return full.sort_values(self.group_col).reset_index(drop=True).astype(
-            {a: "int64" for a in agg_names}
-        )
+        return fold_group_table(full, self.group_col, [a for a, _, _ in self.aggs])

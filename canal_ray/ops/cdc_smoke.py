@@ -191,17 +191,22 @@ def cdc_derived_lang_stats(sf_dir: str) -> pd.DataFrame:
     return inc
 
 
-def _evstream_job(sf_dir: str):
-    """Replay the registered ``events`` table as a change stream through the
-    full engine; returns ``(job, n_events)`` with the lake materialized.
-
-    Each event row is an upsert of that user's state, ordered by
-    (ts, event_id) — the ``cdc_latest_state_by_user`` semantics — so the
-    replayed lake is deterministic from ``events`` alone and DuckDB can
-    express any read over it. The fixture log and lake are cached under /tmp
-    keyed by (input identity, delta format); ``job.run()`` is a fenced no-op
-    on a complete lake.
-    """
+def _event_stream_job(
+    sf_dir: str,
+    table: str,
+    payload: list[tuple[str, str]],
+    vals_fn,
+    cache_root: str,
+    cache_tag: str,
+    read_extra: tuple[str, ...],
+):
+    """Shared builder for the ``events``-derived change-stream lakes: read
+    the registered table in (ts, event_id) order, synthesize a 4-segment
+    binlog of per-user upserts with the given payload columns, replay it
+    through the full engine into a /tmp lake cached by (input identity,
+    delta format, tag). Returns ``(job, n_events)``; ``job.run()`` is a
+    fenced no-op on a complete lake. All such lakes are co-partitioned
+    (same pk, same partition count) — the joined-derived precondition."""
     import hashlib
 
     import numpy as np
@@ -213,41 +218,30 @@ def _evstream_job(sf_dir: str):
     from canal_ray.pipeline import CdcJob
     from canal_ray.sink import DELTA_FORMAT_VERSION
 
+    read_cols = ["event_id", "ts", "user_id", *read_extra]
     df = pd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        os.path.join(sf_dir, "events.parquet"), columns=read_cols
     ).sort_values(["ts", "event_id"]).reset_index(drop=True)
     n = len(df)
     key = hashlib.sha256(
         f"{sf_dir}|{n}|{int(df['event_id'].iloc[-1]) if n else 0}|"
-        f"{DELTA_FORMAT_VERSION}|v1".encode()
+        f"{DELTA_FORMAT_VERSION}|{cache_tag}".encode()
     ).hexdigest()[:12]
-    root = f"/tmp/canal_ray_evstream_{key}"
+    root = f"/tmp/{cache_root}_{key}"
     log_dir = os.path.join(root, "binlog")
     lake = os.path.join(root, "lake")
 
+    col_names = ["uid", "utag"] + [name for name, _ in payload]
     n_segments = 4
     if not os.path.isdir(log_dir) or len(os.listdir(log_dir)) < n_segments:
         os.makedirs(log_dir, exist_ok=True)
         uid = df["user_id"].astype(str).to_numpy(dtype=object)
-        etype = df["event_type"].to_numpy(dtype=object)
-        value_c = np.round(df["value"].to_numpy() * 10_000).astype(np.int64)
+        payload_vals = vals_fn(df)  # list of object arrays, aligned with df
         lsn = np.arange(1, n + 1, dtype=np.int64)
         bounds = np.linspace(0, n, n_segments + 1).astype(int)
         for s in range(n_segments):
             a, b = bounds[s], bounds[s + 1]
             m = b - a
-            cols = pa.array(
-                [["uid", "utag", "event_type", "value_c"]] * m,
-                type=pa.list_(pa.string()),
-            )
-            vals = pa.array(
-                [
-                    [uid[i], "", etype[i], str(value_c[i])]
-                    for i in range(a, b)
-                ],
-                type=pa.list_(pa.string()),
-            )
             t = pa.table(
                 {
                     "lsn": pa.array(lsn[a:b]),
@@ -256,11 +250,17 @@ def _evstream_job(sf_dir: str):
                     "gtid": pa.nulls(m, type=pa.string()),
                     "op": pa.array(["UPDATE"] * m),
                     "schema_name": pa.array(["appdb"] * m),
-                    "table_name": pa.array(["events"] * m),
+                    "table_name": pa.array([table] * m),
                     "pk_repo": pa.array(uid[a:b], type=pa.string()),
                     "pk_path": pa.array([""] * m),
-                    "cols": cols,
-                    "vals": vals,
+                    "cols": pa.array([col_names] * m, type=pa.list_(pa.string())),
+                    "vals": pa.array(
+                        [
+                            [uid[i], ""] + [v[i] for v in payload_vals]
+                            for i in range(a, b)
+                        ],
+                        type=pa.list_(pa.string()),
+                    ),
                     "ddl_sql": pa.nulls(m, type=pa.string()),
                     "execute_time": pa.array(
                         df["ts"].iloc[a:b].astype("datetime64[ms]").to_numpy()
@@ -272,18 +272,38 @@ def _evstream_job(sf_dir: str):
 
     cfg = CdcConfig(
         log_dir=log_dir, lake_dir=lake,
-        schema_name="appdb", table_name="events",
+        schema_name="appdb", table_name=table,
         pk_columns=("uid", "utag"),
         initial_schema=(
             ("uid", "string"), ("utag", "string"),
-            ("event_type", "string"), ("value_c", "int64"),
+            *[(name, typ) for name, typ in payload],
         ),
-        table_filter=r"appdb\.events",
+        table_filter=rf"appdb\.{table}",
         num_partitions=8, epoch_segments=1,
     )
     job = CdcJob(cfg)
     job.run()  # fenced no-op when the lake is already complete
     return job, n
+
+
+def _evstream_job(sf_dir: str):
+    """FACT stream: per-user latest (event_type, value_c) state — the
+    ``cdc_latest_state_by_user`` semantics, deterministic from ``events``."""
+    import numpy as np
+
+    def vals(df):
+        value_c = np.round(df["value"].to_numpy() * 10_000).astype(np.int64)
+        return [
+            df["event_type"].to_numpy(dtype=object),
+            np.array([str(v) for v in value_c], dtype=object),
+        ]
+
+    return _event_stream_job(
+        sf_dir, "events",
+        [("event_type", "string"), ("value_c", "int64")],
+        vals, "canal_ray_evstream", "v1",
+        read_extra=("event_type", "value"),
+    )
 
 
 def cdc_derived_event_stats(sf_dir: str) -> pd.DataFrame:
@@ -543,80 +563,15 @@ def cdc_group_merge(sf_dir: str) -> pd.DataFrame:
 def _evdim_job(sf_dir: str):
     """DIMENSION stream for the join-derived path: the same registered
     ``events`` ordering replayed as a (uid -> event_type) membership stream
-    into its OWN lake (co-partitioned with ``_evstream_job``'s fact lake:
-    same pk, same partition count). Cached/fenced like the fact lake."""
-    import hashlib
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from canal_ray.config import CdcConfig
-    from canal_ray.loggen import LOG_SCHEMA
-    from canal_ray.pipeline import CdcJob
-    from canal_ray.sink import DELTA_FORMAT_VERSION
-
-    df = pd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"],
-    ).sort_values(["ts", "event_id"]).reset_index(drop=True)
-    n = len(df)
-    key = hashlib.sha256(
-        f"{sf_dir}|{n}|{int(df['event_id'].iloc[-1]) if n else 0}|"
-        f"{DELTA_FORMAT_VERSION}|dim-v1".encode()
-    ).hexdigest()[:12]
-    root = f"/tmp/canal_ray_evdim_{key}"
-    log_dir = os.path.join(root, "binlog")
-    lake = os.path.join(root, "lake")
-
-    n_segments = 4
-    if not os.path.isdir(log_dir) or len(os.listdir(log_dir)) < n_segments:
-        os.makedirs(log_dir, exist_ok=True)
-        uid = df["user_id"].astype(str).to_numpy(dtype=object)
-        etype = df["event_type"].to_numpy(dtype=object)
-        lsn = np.arange(1, n + 1, dtype=np.int64)
-        bounds = np.linspace(0, n, n_segments + 1).astype(int)
-        for s in range(n_segments):
-            a, b = bounds[s], bounds[s + 1]
-            m = b - a
-            t = pa.table(
-                {
-                    "lsn": pa.array(lsn[a:b]),
-                    "segment": pa.array(np.full(m, s, dtype=np.int32)),
-                    "txn_id": pa.array(lsn[a:b]),
-                    "gtid": pa.nulls(m, type=pa.string()),
-                    "op": pa.array(["UPDATE"] * m),
-                    "schema_name": pa.array(["appdb"] * m),
-                    "table_name": pa.array(["user_dim"] * m),
-                    "pk_repo": pa.array(uid[a:b], type=pa.string()),
-                    "pk_path": pa.array([""] * m),
-                    "cols": pa.array(
-                        [["uid", "utag", "event_type"]] * m,
-                        type=pa.list_(pa.string()),
-                    ),
-                    "vals": pa.array(
-                        [[uid[i], "", etype[i]] for i in range(a, b)],
-                        type=pa.list_(pa.string()),
-                    ),
-                    "ddl_sql": pa.nulls(m, type=pa.string()),
-                    "execute_time": pa.array(
-                        df["ts"].iloc[a:b].astype("datetime64[ms]").to_numpy()
-                    ),
-                },
-                schema=LOG_SCHEMA,
-            )
-            pq.write_table(t, os.path.join(log_dir, f"segment_{s:05d}.parquet"))
-
-    cfg = CdcConfig(
-        log_dir=log_dir, lake_dir=lake,
-        schema_name="appdb", table_name="user_dim",
-        pk_columns=("uid", "utag"),
-        initial_schema=(("uid", "string"), ("utag", "string"), ("event_type", "string")),
-        table_filter=r"appdb\.user_dim",
-        num_partitions=8, epoch_segments=1,
+    into its OWN lake (co-partitioned with ``_evstream_job``'s fact lake —
+    the shared builder guarantees it). Cached/fenced like the fact lake."""
+    job, _ = _event_stream_job(
+        sf_dir, "user_dim",
+        [("event_type", "string")],
+        lambda df: [df["event_type"].to_numpy(dtype=object)],
+        "canal_ray_evdim", "dim-v1",
+        read_extra=("event_type",),
     )
-    job = CdcJob(cfg)
-    job.run()  # fenced no-op when the lake is already complete
     return job
 
 
