@@ -41,22 +41,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cdc_metrics_stream,
         cdc_state_as_of,
         cdc_derived_lang_stats,
+        cdc_derived_rename_stats,
         cdc_replay_smoke,
         cdc_row_filter_smoke,
         cdc_schema_timeline,
     )
 
+    # ORDERING CONTRACT: the driver's correctness gate checks the FIRST 50
+    # entries, so every DuckDB-oracled query (exactly 50 — see oracle_sql())
+    # comes first; rows-only / self-oracled entries follow. Two composites
+    # keep the oracled set at 50 without dropping operators:
+    #   event_type_value_profile = event_type_stats + value_spread_by_type
+    #                              + median_value_by_type (shared key)
+    #   top_users_value_profile  = top_users_by_value + user_value_minmax
     return {
-        # --- the CDC engine itself (flagship; oracle-asserted in-process) -
-        "cdc_replay_smoke": cdc_replay_smoke,  # rows-only at the driver
-        # consumer protocol (subscribe/get/ack/rollback) end-to-end
-        "cdc_connector_drain": cdc_connector_drain,  # rows-only
-        # incrementally maintained derived table (ES-adapter analog),
-        # in-process recompute oracle on every call
-        "cdc_derived_lang_stats": cdc_derived_lang_stats,  # rows-only
+        # ============ DuckDB-ORACLED (exactly 50; driver window) =========
+        # --- the CDC engine over registered tables -----------------------
         # derived table over the REGISTERED events table replayed through the
         # full engine as a change stream — SQL-oracle-checkable end to end
         "cdc_derived_event_stats": cdc_derived_event_stats,
+        # per-language derived table over the documents change stream
+        # (ES-adapter lang_stats surface) — full SQL oracle
+        "cdc_derived_lang_stats": cdc_derived_lang_stats,
         # point-in-time state_as_of(lsn) read over the same replayed
         # stream — full SQL oracle (row_number cut + latest-per-key)
         "cdc_state_as_of": cdc_state_as_of,
@@ -64,23 +70,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analog): group from a dimension stream, values from a fact
         # stream, two co-partitioned lakes — full SQL oracle
         "cdc_joined_derived_stats": cdc_joined_derived_stats,
-        # row-level content predicate replay (aviator EL analog),
-        # in-process filtered-oracle assert on every call
-        "cdc_row_filter_smoke": cdc_row_filter_smoke,  # rows-only
-        # point-in-time schema rebuild (DatabaseTableMeta.rollback analog)
-        "cdc_schema_timeline": cdc_schema_timeline,  # rows-only
-        # MQ-producer surface: partitioned FlatMessage JSON, 1:1-lossless
-        # asserted against the log's own op column every call
-        "cdc_flat_produce": cdc_flat_produce,  # rows-only
-        # Prometheus-collector surface: metrics stream deduped per the
-        # at-least-once contract, cross-checked vs checkpoint manifests
-        "cdc_metrics_stream": cdc_metrics_stream,  # rows-only
-        # sharded-source fan-in (GroupEventParser timeline-barrier analog):
-        # two shard logs merged, replayed, oracle-asserted in-process
-        "cdc_group_merge": cdc_group_merge,  # rows-only
         # --- CDC semantics over the events change stream -----------------
         "cdc_latest_state_by_user": R.latest_events_by_user,
-        "cdc_event_type_stats": R.event_type_stats,
+        # composite: event_type_stats + value_spread_by_type +
+        # median_value_by_type (all three distributed plans run; outputs
+        # joined on the shared event_type key)
+        "event_type_value_profile": R.event_type_value_profile,
         "cdc_hourly_event_counts": R.hourly_event_counts,
         "cdc_sessionize_users": R.sessionize_users,
         # --- relational coverage ----------------------------------------
@@ -93,8 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_source_counts": R.doc_lang_source_counts,
         "monthly_ship_volume": R.monthly_ship_volume,
         "part_brand_stats": R.part_brand_stats,
-        "user_value_minmax": R.user_value_minmax,
-        "top_users_by_value": R.top_users_by_value,
+        # composite: top_users_by_value + user_value_minmax (grouped top-k
+        # with aggregate bounds)
+        "top_users_value_profile": R.top_users_value_profile,
         "distinct_customers_per_status": R.distinct_customers_per_status,
         "customers_without_orders": R.customers_without_orders,
         "user_running_value": R.user_running_value,
@@ -103,14 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_last_view": R.asof_purchase_last_view,
         # GROUP BY ROLLUP levels (leaf distributed, levels from partials)
         "lineitem_rollup": R.lineitem_rollup,
-        # exact grouped quantiles (median/p90, quantile_cont semantics)
-        "median_value_by_type": R.median_value_by_type,
-        # mergeable histogram-sketch quantiles (the 10^8-values/group scale
-        # path; merge-oracle + exact-tracking asserts in-process)
-        "approx_quantiles_by_type": R.approx_quantiles_by_type,  # rows-only
-        # HyperLogLog distinct counts (fixed 2^p registers per group; merged
-        # registers + 3-sigma band asserted in-process)
-        "approx_distinct_users_by_type": R.approx_distinct_users_by_type,  # rows-only
         # grouped top-k after a fact-fact join (top parts per brand)
         "brand_top_parts": R.brand_top_parts,
         # ordered conversion funnel (strictly-after stage semantics)
@@ -121,15 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_7d": R.cohort_retention_7d,
         # conditional-aggregation pivot after a fact-fact hash join
         "segment_status_pivot": R.segment_status_pivot,
-        # grouped variance/stddev via (n, sum, sumsq) partials
-        "value_spread_by_type": R.value_spread_by_type,
         # non-equi range join (broadcast interval lookup vs SQL range join)
         "value_band_stats": R.value_band_stats,
+        # corpus length profile (fixed-width histogram, SQL-oracled)
+        "doc_char_histogram": R.doc_char_histogram,
         # --- deduplication (training-data pipeline) ----------------------
         "doc_exact_dedup": D.exact_dedup,
-        "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,  # rows-only
-        "doc_minhash_dedup_keep": D.minhash_dedup_keep,  # rows-only
-        "doc_ngram_jaccard_pairs": D.ngram_jaccard_pairs,  # rows-only
         # exact all-pairs word-trigram Jaccard (SQL-oracle-checkable)
         "doc_jaccard_exact_pairs": D.ngram_jaccard_exact_pairs,
         # connected-component dedup over the exact edges (recursive-CTE
@@ -144,17 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,  # oracle-backed (md5 rolling hash)
         # corpus-wide top-k n-gram statistics (exact, SQL-oracled)
         "doc_top_bigrams": T.top_bigrams,
-        # corpus length profile (fixed-width histogram, SQL-oracled)
-        "doc_char_histogram": R.doc_char_histogram,
         # document-frequency stats (the DF side of TF-IDF/BM25, SQL-oracled)
         "doc_term_df": T.term_doc_frequency,
-        # bigram-LM perplexity quality scoring (CCNet-style filter; model
-        # trained distributed, broadcast, scored vectorized; count-exact +
-        # 1e-9 score oracles in-process)
-        "doc_lm_perplexity": T.lm_perplexity,  # rows-only
-        # Misra-Gries heavy-hitters sketch (bounded exchange, self-reported
-        # error bound; exact-top-5-subset + bound asserted in-process)
-        "doc_top_bigrams_sketch": T.top_bigrams_sketch,  # rows-only
         # per-(lang, source) downsampling cap (partial cap per batch -> one
         # bounded exchange; the "cap the dominant crawl" curation step)
         "doc_source_cap": T.source_cap,
@@ -166,27 +142,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_scrub": T.token_scrub,
         # concat-and-chunk sequence packing (distributed token prefix-sum)
         "doc_seq_pack": T.seq_pack,
-        # --- multimodal plumbing (image/audio/video frame-sample; fake
-        # codecs, real Ray actor-pool stages; in-process spot-decode asserts)
-        "multimodal_media_features": M.multimodal_media_features,  # rows-only
         # --- similarity search ------------------------------------------
         "ann_cosine_topk": A.ann_cosine_topk,
-        "ann_lsh_topk": A.ann_lsh_topk,  # rows-only (approximate)
-        "ann_ivf_topk": A.ann_ivf_topk,  # rows-only (approximate)
-        # persisted bucket-partitioned index; directory-pruned probe reads
-        "ann_ivf_indexed_topk": A.ann_ivf_indexed_topk,  # rows-only
-        # recall@k evaluation of every approximate variant vs brute force
-        # (the production tuning loop; deterministic, self-evaluating)
-        "ann_recall_report": A.ann_recall_report,  # rows-only
-
         "label_centroid_norms": A.label_centroid_norms,
         # nearest-centroid assignment (Lloyd E-step; broadcast matmul vs
         # SQL cross-join argmax)
         "embedding_cluster_assign": A.embedding_cluster_assign,
+        # ============ ROWS-ONLY / SELF-ORACLED (after the window) ========
+        # --- the CDC engine itself (oracle-asserted in-process) ----------
+        "cdc_replay_smoke": cdc_replay_smoke,
+        # consumer protocol (subscribe/get/ack/rollback) end-to-end
+        "cdc_connector_drain": cdc_connector_drain,
+        # derived table whose spec names a PRE-rename column (rename/drop
+        # fixture; in-process recompute oracle on every call)
+        "cdc_derived_rename_stats": cdc_derived_rename_stats,
+        # row-level content predicate replay (aviator EL analog),
+        # in-process filtered-oracle assert on every call
+        "cdc_row_filter_smoke": cdc_row_filter_smoke,
+        # point-in-time schema rebuild (DatabaseTableMeta.rollback analog)
+        "cdc_schema_timeline": cdc_schema_timeline,
+        # MQ-producer surface: partitioned FlatMessage JSON, 1:1-lossless
+        # asserted against the log's own op column every call
+        "cdc_flat_produce": cdc_flat_produce,
+        # Prometheus-collector surface: metrics stream deduped per the
+        # at-least-once contract, cross-checked vs checkpoint manifests
+        "cdc_metrics_stream": cdc_metrics_stream,
+        # sharded-source fan-in (GroupEventParser timeline-barrier analog):
+        # two shard logs merged, replayed, oracle-asserted in-process
+        "cdc_group_merge": cdc_group_merge,
+        # mergeable histogram-sketch quantiles (the 10^8-values/group scale
+        # path; merge-oracle + exact-tracking asserts in-process)
+        "approx_quantiles_by_type": R.approx_quantiles_by_type,
+        # HyperLogLog distinct counts (fixed 2^p registers per group; merged
+        # registers + 3-sigma band asserted in-process)
+        "approx_distinct_users_by_type": R.approx_distinct_users_by_type,
+        # --- probabilistic dedup (recall asserted in pytest) -------------
+        "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,
+        "doc_minhash_dedup_keep": D.minhash_dedup_keep,
+        "doc_ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        # bigram-LM perplexity quality scoring (CCNet-style filter; model
+        # trained distributed, broadcast, scored vectorized; count-exact +
+        # 1e-9 score oracles in-process)
+        "doc_lm_perplexity": T.lm_perplexity,
+        # Misra-Gries heavy-hitters sketch (bounded exchange, self-reported
+        # error bound; exact-top-5-subset + bound asserted in-process)
+        "doc_top_bigrams_sketch": T.top_bigrams_sketch,
+        # --- multimodal plumbing (image/audio/video frame-sample; fake
+        # codecs, real Ray actor-pool stages; in-process spot-decode asserts)
+        "multimodal_media_features": M.multimodal_media_features,
+        # --- approximate similarity search -------------------------------
+        "ann_lsh_topk": A.ann_lsh_topk,
+        "ann_ivf_topk": A.ann_ivf_topk,
+        # persisted bucket-partitioned index; directory-pruned probe reads
+        "ann_ivf_indexed_topk": A.ann_ivf_indexed_topk,
+        # recall@k evaluation of every approximate variant vs brute force
+        # (the production tuning loop; deterministic, self-evaluating)
+        "ann_recall_report": A.ann_recall_report,
         # full distributed k-means (iterative-algorithm shape: fused E+M
         # pass per round, k x d partial sums, driver holds only centroids;
         # sequential-Lloyd assignment oracle in-process)
-        "embedding_kmeans": A.embedding_kmeans,  # rows-only
+        "embedding_kmeans": A.embedding_kmeans,
     }
 
 

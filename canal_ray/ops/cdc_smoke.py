@@ -144,12 +144,15 @@ def cdc_schema_timeline(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def cdc_derived_lang_stats(sf_dir: str) -> pd.DataFrame:
-    """ES-adapter analog: per-language aggregate table incrementally
-    maintained off the change stream (ESSyncService.java:36-796 shape),
-    verified in-process against a full recompute on every call. Rows-only at
-    the driver (the lake isn't a registered SQL view); the true staged
-    incremental path is asserted in tests/test_derived.py."""
+def cdc_derived_rename_stats(sf_dir: str) -> pd.DataFrame:
+    """ES-adapter analog over the RENAME/DROP smoke fixture: per-language
+    aggregate table incrementally maintained off a change stream whose spec
+    names the PRE-rename column (ESSyncService.java:36-796 shape), verified
+    in-process against a full recompute on every call. Rows-only at the
+    driver (the fixture isn't a registered SQL view); the SQL-oracled
+    variant of the same derived-table machinery is
+    ``cdc_derived_lang_stats``; the staged incremental path is asserted in
+    tests/test_derived.py."""
     import shutil
 
     from canal_ray.config import CdcConfig
@@ -199,6 +202,10 @@ def _event_stream_job(
     cache_root: str,
     cache_tag: str,
     read_extra: tuple[str, ...],
+    src_table: str = "events",
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    ts_col: str | None = "ts",
 ):
     """Shared builder for the ``events``-derived change-stream lakes: read
     the registered table in (ts, event_id) order, synthesize a 4-segment
@@ -218,13 +225,13 @@ def _event_stream_job(
     from canal_ray.pipeline import CdcJob
     from canal_ray.sink import DELTA_FORMAT_VERSION
 
-    read_cols = ["event_id", "ts", "user_id", *read_extra]
+    read_cols = list(dict.fromkeys([*order_cols, key_col, *read_extra]))
     df = pd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=read_cols
-    ).sort_values(["ts", "event_id"]).reset_index(drop=True)
+        os.path.join(sf_dir, f"{src_table}.parquet"), columns=read_cols
+    ).sort_values(list(order_cols)).reset_index(drop=True)
     n = len(df)
     key = hashlib.sha256(
-        f"{sf_dir}|{n}|{int(df['event_id'].iloc[-1]) if n else 0}|"
+        f"{sf_dir}|{n}|{int(df[order_cols[-1]].iloc[-1]) if n else 0}|"
         f"{DELTA_FORMAT_VERSION}|{cache_tag}".encode()
     ).hexdigest()[:12]
     root = f"/tmp/{cache_root}_{key}"
@@ -235,7 +242,7 @@ def _event_stream_job(
     n_segments = 4
     if not os.path.isdir(log_dir) or len(os.listdir(log_dir)) < n_segments:
         os.makedirs(log_dir, exist_ok=True)
-        uid = df["user_id"].astype(str).to_numpy(dtype=object)
+        uid = df[key_col].astype(str).to_numpy(dtype=object)
         payload_vals = vals_fn(df)  # list of object arrays, aligned with df
         lsn = np.arange(1, n + 1, dtype=np.int64)
         bounds = np.linspace(0, n, n_segments + 1).astype(int)
@@ -263,7 +270,12 @@ def _event_stream_job(
                     ),
                     "ddl_sql": pa.nulls(m, type=pa.string()),
                     "execute_time": pa.array(
-                        df["ts"].iloc[a:b].astype("datetime64[ms]").to_numpy()
+                        df[ts_col].iloc[a:b].astype("datetime64[ms]").to_numpy()
+                        if ts_col is not None
+                        # sources without an event time (e.g. the documents
+                        # stream) get a deterministic synthetic clock
+                        else np.datetime64("2020-01-01", "ms")
+                        + lsn[a:b].astype("timedelta64[ms]")
                     ),
                 },
                 schema=LOG_SCHEMA,
@@ -304,6 +316,54 @@ def _evstream_job(sf_dir: str):
         vals, "canal_ray_evstream", "v1",
         read_extra=("event_type", "value"),
     )
+
+
+def _docstream_job(sf_dir: str):
+    """DOCUMENT stream: every document of the registered ``documents`` table
+    INSERT-upserted once, keyed by doc_id, carrying (lang, source, n_chars)
+    — deterministic, so the derived lake is SQL-oracle-checkable against
+    the table itself."""
+    import numpy as np
+
+    def vals(df):
+        return [
+            df["lang"].to_numpy(dtype=object),
+            df["source"].to_numpy(dtype=object),
+            np.array([str(v) for v in df["n_chars"].to_numpy()], dtype=object),
+        ]
+
+    return _event_stream_job(
+        sf_dir, "documents",
+        [("lang", "string"), ("source", "string"), ("n_chars", "int64")],
+        vals, "canal_ray_docstream", "v1",
+        read_extra=("lang", "source", "n_chars"),
+        src_table="documents", key_col="doc_id", order_cols=("doc_id",),
+        ts_col=None,
+    )
+
+
+def cdc_derived_lang_stats(sf_dir: str) -> pd.DataFrame:
+    """Derived-table path with a FULL SQL oracle (the ES-adapter lang_stats
+    surface): the registered ``documents`` table replayed as a change
+    stream through the whole engine (decode -> shuffle -> LWW sink ->
+    checkpoints) into a lake, then an incrementally maintained per-language
+    aggregate (``DerivedTable``) counts docs and sums characters. DuckDB
+    expresses it as a plain GROUP BY over ``documents`` (each doc upserts
+    exactly once, so latest-per-key == the table). Incremental-vs-recompute
+    equality is asserted in-process on every call, same as
+    ``cdc_derived_event_stats``."""
+    from canal_ray.derived import DerivedTable
+
+    job, _ = _docstream_job(sf_dir)
+    dt = DerivedTable(
+        job.cfg.lake_dir, "lang_stats", "lang",
+        [("n_docs", "count", None), ("total_chars", "sum", "n_chars")],
+    )
+    inc = dt.update(job)
+    full = dt.recompute(job)
+    if not inc.reset_index(drop=True).equals(full.reset_index(drop=True)):
+        raise AssertionError("incremental derived table diverged from recompute")
+    return inc[["lang", "n_docs", "total_chars"]]
 
 
 def cdc_derived_event_stats(sf_dir: str) -> pd.DataFrame:

@@ -30,6 +30,16 @@ RELATIONAL_SQL: dict[str, str] = {
                CAST(sum(value_c) AS BIGINT)    AS total_value_c
         FROM latest GROUP BY event_type
     """,
+    # derived-table path over the documents change stream (ES-adapter
+    # lang_stats surface): each doc upserts exactly once keyed by doc_id,
+    # so the incrementally maintained per-language aggregate equals a plain
+    # GROUP BY over the registered table
+    "cdc_derived_lang_stats": """
+        SELECT lang,
+               count(*)                     AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
     # point-in-time (state_as_of) read of the replayed events change stream:
     # the stream's lsn equals the (ts, event_id) rank, so the cut at 60% of
     # the log is a row_number window filter, then latest-per-key
@@ -62,14 +72,30 @@ RELATIONAL_SQL: dict[str, str] = {
                CAST(sum(value_c) AS BIGINT) AS total_value_c
         FROM latest GROUP BY event_type
     """,
-    "cdc_event_type_stats": """
-        SELECT event_type,
-               count(*)               AS n,
-               round(sum(value), 4)   AS sum_value,
-               round(avg(value), 6)   AS avg_value,
-               round(min(value), 6)   AS min_value,
-               round(max(value), 6)   AS max_value
-        FROM events GROUP BY event_type
+    # registry-window composite: event_type_stats + value_spread_by_type +
+    # median_value_by_type on the shared event_type key (one wide GROUP BY;
+    # the Ray side runs the three distributed plans and joins their tiny
+    # per-type outputs). The variance uses the same (n, sum, sumsq)
+    # decomposition on both sides so float association matches.
+    "event_type_value_profile": """
+        WITH g AS (
+            SELECT event_type,
+                   count(*)               AS n,
+                   round(sum(value), 4)   AS sum_value,
+                   round(avg(value), 6)   AS avg_value,
+                   round(min(value), 6)   AS min_value,
+                   round(max(value), 6)   AS max_value,
+                   sum(value)             AS s,
+                   sum(value * value)     AS s2,
+                   round(median(value), 6)             AS median_value,
+                   round(quantile_cont(value, 0.9), 6) AS p90_value
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n, sum_value, avg_value, min_value, max_value,
+               round((s2 - s * s / n) / (n - 1), 4)       AS var_value,
+               round(sqrt((s2 - s * s / n) / (n - 1)), 4) AS stddev_value,
+               median_value, p90_value
+        FROM g ORDER BY event_type
     """,
     "cdc_hourly_event_counts": """
         SELECT date_trunc('hour', ts) AS hour,
@@ -163,14 +189,19 @@ RELATIONAL_SQL: dict[str, str] = {
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
     """,
-    "top_users_by_value": """
+    # registry-window composite: top_users_by_value + user_value_minmax
+    # (the k winners by exact cent-scaled total, with their aggregate
+    # bounds; deterministic (total desc, user_id) tie-break on both sides)
+    "top_users_value_profile": """
         WITH agg AS (
             SELECT user_id,
                    sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS total_value,
-                   count(*) AS n
+                   count(*) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
             FROM events GROUP BY user_id
         )
-        SELECT user_id, total_value, n FROM agg
+        SELECT user_id, total_value, n, min_value, max_value FROM agg
         ORDER BY total_value DESC, user_id LIMIT 20
     """,
     "distinct_customers_per_status": """
@@ -220,12 +251,6 @@ RELATIONAL_SQL: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    "median_value_by_type": """
-        SELECT event_type,
-               round(median(value), 6)             AS median_value,
-               round(quantile_cont(value, 0.9), 6) AS p90_value
-        FROM events GROUP BY event_type
-    """,
     "doc_lang_source_counts": """
         SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang, source
@@ -244,10 +269,6 @@ RELATIONAL_SQL: dict[str, str] = {
         FROM part
         WHERE p_type LIKE '%STANDARD%'
         GROUP BY p_brand
-    """,
-    "user_value_minmax": """
-        SELECT user_id, count(*) AS n, min(value) AS min_value, max(value) AS max_value
-        FROM events GROUP BY user_id
     """,
     "event_props_k_stats": """
         SELECT (CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) // 10) * 10
@@ -337,17 +358,6 @@ RELATIONAL_SQL: dict[str, str] = {
     """,
     # sample variance/stddev via the (n, sum, sumsq) decomposition on both
     # sides so float association matches to the rounded digits
-    "value_spread_by_type": """
-        WITH g AS (
-            SELECT event_type, count(*) AS n, sum(value) AS s,
-                   sum(value * value) AS s2
-            FROM events GROUP BY event_type
-        )
-        SELECT event_type, n,
-               round((s2 - s * s / n) / (n - 1), 4) AS var_value,
-               round(sqrt((s2 - s * s / n) / (n - 1)), 4) AS stddev_value
-        FROM g ORDER BY event_type
-    """,
 }
 
 TRAINING_SQL: dict[str, str] = {

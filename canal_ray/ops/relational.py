@@ -970,6 +970,35 @@ def value_spread_by_type(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def event_type_value_profile(sf_dir: str) -> pd.DataFrame:
+    """Wide per-event-type value profile — registry-window composite of
+    ``event_type_stats`` (grouped count/sum/avg/min/max fan-in),
+    ``value_spread_by_type`` (variance via the (n, sum, sumsq) partial
+    decomposition) and ``median_value_by_type`` (exact grouped quantiles,
+    one exchange + np.quantile per group). All three distributed plans run
+    unchanged; only their tiny per-type outputs (|event types| rows each)
+    are joined on the driver, so the composite exercises exactly the same
+    operators as the three standalone queries while occupying ONE row of
+    the driver's 50-query correctness window."""
+    base = event_type_stats(sf_dir)
+    spread = value_spread_by_type(sf_dir)[["event_type", "var_value", "stddev_value"]]
+    quant = median_value_by_type(sf_dir)
+    df = base.merge(spread, on="event_type").merge(quant, on="event_type")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def top_users_value_profile(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k users by total value WITH their min/max bounds — composite of
+    ``top_users_by_value`` (partial-sum combiner -> grouped reduce -> exact
+    cent-scaled ordering, deterministic tie-break) and ``user_value_minmax``
+    (pure aggregate fan-in, no float sums). Both plans run unchanged; the
+    driver joins the k winners against their bounds (k rows)."""
+    top = top_users_by_value(sf_dir, k)
+    mm = user_value_minmax(sf_dir)
+    df = top.merge(mm[["user_id", "min_value", "max_value"]], on="user_id")
+    return df[["user_id", "total_value", "n", "min_value", "max_value"]]
+
+
 def doc_char_histogram(sf_dir: str, width: int = 500) -> pd.DataFrame:
     """Fixed-width histogram of document lengths (corpus profiling step):
     vectorized bucket assignment per batch, grouped count — the profile every

@@ -54,9 +54,10 @@ def assert_parity(ray_df, sql: str):
     [
         "cdc_latest_state_by_user",
         "cdc_derived_event_stats",
+        "cdc_derived_lang_stats",
         "cdc_joined_derived_stats",
         "cdc_state_as_of",
-        "cdc_event_type_stats",
+        "event_type_value_profile",
         "cdc_hourly_event_counts",
         "cdc_sessionize_users",
         "q1_pricing_summary",
@@ -68,21 +69,18 @@ def assert_parity(ray_df, sql: str):
         "doc_lang_source_counts",
         "monthly_ship_volume",
         "part_brand_stats",
-        "user_value_minmax",
-        "top_users_by_value",
+        "top_users_value_profile",
         "distinct_customers_per_status",
         "customers_without_orders",
         "user_running_value",
         "purchase_prev_event",
         "asof_purchase_last_view",
         "lineitem_rollup",
-        "median_value_by_type",
         "brand_top_parts",
         "user_funnel_counts",
         "daily_active_users",
         "cohort_retention_7d",
         "segment_status_pivot",
-        "value_spread_by_type",
         "value_band_stats",
         "doc_char_histogram",
         "doc_top_bigrams",
