@@ -418,7 +418,8 @@ def _full_shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 def ngram_jaccard_exact_pairs(
-    sf_dir: str, k: int = 3, jaccard_threshold: float = 0.5, n_shards: int = 64
+    sf_dir: str, k: int = 3, jaccard_threshold: float = 0.5, n_shards: int = 64,
+    max_df: int = 256,
 ) -> pd.DataFrame:
     """EXACT all-pairs word k-gram Jaccard (SQL-oracle-checkable, unlike the
     LSH-candidate variant whose recall is probabilistic).
@@ -433,9 +434,18 @@ def ngram_jaccard_exact_pairs(
       3. groupby(pair-shard).map_groups: sum partial counts to the true
          intersection, jaccard = c / (n_a + n_b - c), filter >= threshold.
 
-    Work is quadratic in the size of hot shingle buckets — inherent to the
-    exact contract (the DuckDB oracle pays the same join). At corpus scale
-    the LSH pipeline above is the real path; this is the oracle-grade op.
+    CONTRACT (document-frequency cap): shingles occurring in more than
+    ``max_df`` documents are excluded from intersection counting — pair
+    enumeration inside one bucket is O(df^2), and ONE boilerplate shingle
+    shared by 10^6 docs would otherwise explode the plan (the same guard
+    the LSH path applies as ``max_bucket``). Union sizes (each doc's total
+    distinct-shingle count) are NOT affected, so a pair sharing a hot
+    shingle scores a LOWER jaccard than the uncapped definition; the DuckDB
+    oracle applies the identical HAVING count(*) <= max_df filter. Because
+    a shingle's rows are sharded BY shingle hash, the bucket size seen
+    inside one shard group IS the global df — the cap is exact, not
+    per-partition. Bounded-pair behavior is asserted by a synthetic
+    hot-shingle pytest (tests/test_ops_approx.py).
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -469,7 +479,9 @@ def ngram_jaccard_exact_pairs(
         ends = np.concatenate([starts[1:], [len(sh)]])
         out = []
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            # e - s is this shingle's GLOBAL df (rows sharded by shingle);
+            # df-cap hot shingles before the O(df^2) pair enumeration
+            if e - s < 2 or e - s > max_df:
                 continue
             a, b = np.triu_indices(e - s, k=1)
             out.append(
@@ -527,13 +539,19 @@ def ngram_jaccard_exact_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def minhash_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
-    """Connected-component dedup over verified near-dup pairs: each doc maps
-    to its cluster representative (min doc_id). Union-find on the driver is
-    justified because the verified pair set is tiny relative to the corpus
-    (at 10^10 docs this becomes iterative min-label propagation via groupby)."""
-    pairs = minhash_lsh_dup_pairs(sf_dir, jaccard_threshold)
-    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).to_pandas()
+def _label_components(sf_dir: str, pairs: pd.DataFrame) -> pd.DataFrame:
+    """Component labeling for the dedup-keep variants, 100 TB-shaped:
+    union-find over the (tiny) verified edge set runs on the driver, is
+    COLLAPSED to a flat sorted (doc -> root) array pair, broadcast once
+    (``ray.put``), and every corpus batch resolves its labels with ONE
+    vectorized ``np.searchsorted`` inside ``map_batches`` — the corpus
+    itself never lands on the driver and no per-row Python runs. (At 10^10
+    docs only the edge map rides the object store; the giant-component
+    escape hatch is iterative min-label propagation via groupby.)"""
+    import ray
+
+    from canal_ray.ops.util import cached_get
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -547,10 +565,37 @@ def minhash_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFr
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    out = ids.copy()
-    out["dup_of"] = out["doc_id"].map(lambda d: find(int(d))).astype("int64")
-    out["is_dup"] = out["dup_of"] != out["doc_id"]
-    return out
+    nodes = np.array(sorted(parent.keys()), dtype=np.int64)
+    roots = np.array([find(int(x)) for x in nodes], dtype=np.int64)
+    map_ref = ray.put((nodes, roots))
+
+    def label(t: pa.Table) -> pa.Table:
+        ks, vs = cached_get(map_ref)
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        dup = d.copy()
+        if len(ks):
+            idx = np.clip(np.searchsorted(ks, d), 0, len(ks) - 1)
+            hit = ks[idx] == d
+            dup[hit] = vs[idx[hit]]
+        return pa.table(
+            {"doc_id": d, "dup_of": dup, "is_dup": dup != d}
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(label, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Connected-component dedup over verified near-dup pairs: each doc maps
+    to its cluster representative (min doc_id). Union-find over the tiny
+    edge set on the driver; labeling is broadcast + vectorized map_batches
+    (see ``_label_components`` — no corpus-scale driver collect)."""
+    pairs = minhash_lsh_dup_pairs(sf_dir, jaccard_threshold)
+    return _label_components(sf_dir, pairs)
 
 
 class SimHasher:
@@ -716,25 +761,8 @@ def jaccard_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFr
     computes the same components via a recursive min-label CTE). Each doc
     maps to its cluster representative (min doc_id).
 
-    Union-find on the driver is justified because the verified edge set is
-    tiny relative to the corpus; at 10^10 docs this becomes iterative
-    min-label propagation via groupby (same note as minhash_dedup_keep)."""
+    Union-find over the tiny edge set on the driver; labeling is broadcast +
+    vectorized map_batches (see ``_label_components`` — no corpus-scale
+    driver collect)."""
     pairs = ngram_jaccard_exact_pairs(sf_dir, k=3, jaccard_threshold=jaccard_threshold)
-    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    out = ids.copy()
-    out["dup_of"] = out["doc_id"].map(lambda d: find(int(d))).astype("int64")
-    out["is_dup"] = out["dup_of"] != out["doc_id"]
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _label_components(sf_dir, pairs)

@@ -383,9 +383,14 @@ TRAINING_SQL: dict[str, str] = {
                      1, greatest(len(w) - 2, 0))) AS i) g
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        -- df cap (max_df=256): hot shingles are excluded from intersection
+        -- counting, mirroring the Ray op's bounded-pair contract; union
+        -- sizes above stay uncapped
+        cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE a.s IN (SELECT s FROM cold)
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
@@ -409,9 +414,11 @@ TRAINING_SQL: dict[str, str] = {
                  LATERAL (SELECT unnest(generate_series(
                      1, greatest(len(w) - 2, 0))) AS i) g
         ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE a.s IN (SELECT s FROM cold)
             GROUP BY 1, 2
         ), pairs AS (
             SELECT doc_a, doc_b FROM inter

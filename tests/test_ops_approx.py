@@ -275,3 +275,30 @@ def test_lm_perplexity_discriminates(ray_session, tmp_path):
     out = lm_perplexity(str(tmp_path)).set_index("doc_id")
     in_dist = out.loc[range(100), "ppl"].median()
     assert out.loc[100, "ppl"] > 2 * in_dist
+
+
+def test_jaccard_hot_shingle_df_cap(ray_session, tmp_path):
+    """The df cap bounds pair enumeration on a hot (boilerplate) shingle:
+    30 docs sharing ONE shingle would emit 435 pairs uncapped; with
+    max_df=10 the hot bucket is skipped entirely while pairs backed by
+    cold shingles still surface."""
+    from canal_ray.ops.dedup import ngram_jaccard_exact_pairs
+
+    rows = [
+        # 30 hot docs: the only shingle of each is "spam spam spam" (df=30)
+        {"doc_id": i, "text": "spam spam spam spam"} for i in range(30)
+    ]
+    # one cold near-dup pair: both docs' shingles have df=2
+    rows.append({"doc_id": 100, "text": "alpha beta gamma delta"})
+    rows.append({"doc_id": 101, "text": "alpha beta gamma delta"})
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    capped = ngram_jaccard_exact_pairs(str(tmp_path), max_df=10)
+    assert set(map(tuple, capped[["doc_a", "doc_b"]].to_numpy())) == {(100, 101)}
+    assert capped["jaccard"].iloc[0] == 1.0
+
+    uncapped = ngram_jaccard_exact_pairs(str(tmp_path), max_df=256)
+    # 30*29/2 hot pairs + the cold pair
+    assert len(uncapped) == 30 * 29 // 2 + 1
