@@ -68,6 +68,8 @@ class CdcConfig:
     # single-box profile; turn ON for multi-node shared-storage deploys.
     # Forced OFF when downstream handlers are configured: their retry
     # contract is per-cycle-synchronous (EntryEventSink.java:176-209).
+    # SCATTER EXCHANGE ONLY: with exchange="sort" there is no overlap
+    # branch and CdcJob warns that cycles run sequentially.
     pipelined_cycles: bool = False
 
     # --- epoching / batching ---------------------------------------------

@@ -35,12 +35,20 @@ def _load_queries(sf_dir: str, n_queries: int):
 
 
 
-def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Grouped top-k reduce shared by every ANN variant (deterministic
-    tie-break on vec_id)."""
+def _merge_topk(partials, k: int) -> pd.DataFrame:
+    """Final per-query top-k from the BOUNDED partial set.
+
+    The partials are at most n_blocks x n_queries x (k+1) rows — partial
+    top-k results, never the corpus — so the final reduction collects them
+    and runs ONE vectorized pandas sort on the driver. This replaces a
+    ``groupby(query_id)`` sort AllToAll that paid a full exchange for an
+    8-key reduction and whose internal empty pandas blocks carried no
+    schema (executor RefBundle warnings). At 10^5+ blocks the scale path
+    is a tree merge (per-partition top-k inside ``map_batches``, then this
+    same final merge over the shrunken partials) — same semantics.
+    """
+    g = partials.to_pandas()
     if g.empty:
-        # typed empty output: map_groups runs on empty partitions too, and a
-        # column-less frame emits schema-less RefBundles (executor warning)
         return pd.DataFrame(
             {
                 "query_id": pd.Series([], dtype="int64"),
@@ -48,10 +56,12 @@ def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
                 "rank": pd.Series([], dtype="int64"),
             }
         )
-    g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g[["query_id", "vec_id", "rank"]]
+    g = g.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    g = g.groupby("query_id", as_index=False, sort=False).head(k).reset_index(drop=True)
+    g["rank"] = g.groupby("query_id").cumcount() + 1
+    return g[["query_id", "vec_id", "rank"]].astype(
+        {"query_id": "int64", "vec_id": "int64", "rank": "int64"}
+    )
 
 
 def _empty_partials() -> pd.DataFrame:
@@ -67,11 +77,14 @@ def _empty_partials() -> pd.DataFrame:
 class BruteForceScorer:
     """Actor-pool stage: per-batch cosine scores + per-query partial top-k.
 
-    The broadcast query matrix is fetched once per actor in ``__init__``.
+    The query matrix rides IN the constructor args BY VALUE (it is tiny:
+    n_queries x d floats): an ObjectRef constructor arg on a restartable
+    actor is a restart hazard — if the ref is lost the actor can never be
+    reconstructed (ray#53727). Broadcast-by-ref is for big payloads only.
     """
 
-    def __init__(self, query_ref, k: int):
-        self.qids, self.Q = ray.get(query_ref)
+    def __init__(self, queries, k: int):
+        self.qids, self.Q = queries
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -91,20 +104,16 @@ class BruteForceScorer:
 
 def ann_cosine_topk(sf_dir: str, k: int = 10, n_queries: int = 8) -> pd.DataFrame:
     """Exact cosine top-k per query; output (query_id, vec_id, rank)."""
-    query_ref = ray.put(_load_queries(sf_dir, n_queries))
+    queries = _load_queries(sf_dir, n_queries)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         BruteForceScorer,
-        fn_constructor_args=(query_ref, k),
+        fn_constructor_args=(queries, k),
         batch_format="pandas",
         concurrency=2,
     )
 
-    out = partials.groupby("query_id").map_groups(
-        lambda g, _k=k: _final_topk(g, _k), batch_format="pandas"
-    )
-    df = out.to_pandas()
-    return df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return _merge_topk(partials, k)
 
 
 # --- LSH-bucketed variant (the 100 TB path) --------------------------------
@@ -171,11 +180,7 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_queries: int = 8, probes: int = 2) 
 
     partials = ds.map_batches(per_batch, batch_format="pandas")
 
-    out = partials.groupby("query_id").map_groups(
-        lambda g, _k=k: _final_topk(g, _k), batch_format="pandas"
-    )
-    df = out.to_pandas()
-    return df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return _merge_topk(partials, k)
 
 
 def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 4242) -> np.ndarray:
@@ -241,10 +246,7 @@ def ann_ivf_topk(
 
     partials = ds.map_batches(per_batch, batch_format="pandas")
 
-    out = partials.groupby("query_id").map_groups(
-        lambda g, _k=k: _final_topk(g, _k), batch_format="pandas"
-    )
-    return out.to_pandas().astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return _merge_topk(partials, k)
 
 
 # --- persisted IVF index (the 10^10-scale path, made real) ------------------
@@ -374,10 +376,7 @@ def ann_ivf_indexed_topk(
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "bucket_id"])
     partials = ds.map_batches(per_batch, batch_format="pandas")
 
-    out = partials.groupby("query_id").map_groups(
-        lambda g, _k=k: _final_topk(g, _k), batch_format="pandas"
-    )
-    return out.to_pandas().astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+    return _merge_topk(partials, k)
 
 
 def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
@@ -462,11 +461,13 @@ def embedding_cluster_assign(sf_dir: str, n_centroids: int = 8) -> pd.DataFrame:
     matmul + argmax per batch: no join shuffle, no per-row Python.
     Tie-break: lowest centroid id (ties are measure-zero for real data but
     the rule is pinned anyway)."""
-    cref = ray.put(_load_queries(sf_dir, n_centroids))
+    # centroids ride by value (tiny): ObjectRef constructor args on a
+    # restartable actor are a restart hazard (see BruteForceScorer)
+    centroids = _load_queries(sf_dir, n_centroids)
 
     class Assigner:
-        def __init__(self, cref):
-            self.cids, self.C = ray.get(cref)
+        def __init__(self, c):
+            self.cids, self.C = c
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             M = _matrix(batch["embedding"])
@@ -485,7 +486,7 @@ def embedding_cluster_assign(sf_dir: str, n_centroids: int = 8) -> pd.DataFrame:
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     df = ds.map_batches(
-        Assigner, fn_constructor_args=(cref,), batch_format="pandas", concurrency=2
+        Assigner, fn_constructor_args=(centroids,), batch_format="pandas", concurrency=2
     ).to_pandas()
     return (
         df.astype({"vec_id": "int64", "centroid_id": "int64"})

@@ -666,17 +666,28 @@ def lm_perplexity(sf_dir: str) -> pd.DataFrame:
     # ---- pass 2: scoring --------------------------------------------------
     def score(batch: pd.DataFrame, mref) -> pd.DataFrame:
         u, b, v = cached_get(mref)
-        toks = batch["text"].str.strip().str.split().map(lambda ws: ws if ws else [""])
-        n_toks = toks.str.len().astype("int64").to_numpy()
+        # tokenize + flatten with the SAME Arrow offset-arithmetic kernel
+        # as _batch_bigram_counts: split once, mask each doc's last token,
+        # derive the left-token and joined-bigram arrays without touching
+        # any Python token loop
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pa.array(batch["text"], type=pa.string())),
+            r"\s+",
+        )
+        off = toks.offsets.to_numpy()
+        n_toks = np.diff(off).astype(np.int64)
         n_pairs = np.maximum(n_toks - 1, 0)
-        # flatten every doc's bigrams/left-tokens into ONE Series each and
-        # resolve counts with two vectorized dict maps — no per-token loop
-        lefts, pairs = [], []
-        for ws in toks:
-            lefts.extend(ws[:-1])
-            pairs.extend(f"{a} {c}" for a, c in zip(ws, ws[1:]))
-        bc = pd.Series(pairs, dtype=object).map(b).fillna(0).to_numpy(dtype=np.float64)
-        uc = pd.Series(lefts, dtype=object).map(u).fillna(0).to_numpy(dtype=np.float64)
+        vals = toks.values
+        valid = np.ones(len(vals), dtype=bool)
+        ends = off[1:]
+        valid[ends[ends > 0] - 1] = False  # each doc's last token
+        left_idx = np.flatnonzero(valid)
+        lefts_arr = vals.take(pa.array(left_idx))
+        pairs_arr = pc.binary_join_element_wise(
+            lefts_arr, vals.take(pa.array(left_idx + 1)), " "
+        )
+        bc = pd.Series(pairs_arr.to_pandas(), dtype=object).map(b).fillna(0).to_numpy(dtype=np.float64)
+        uc = pd.Series(lefts_arr.to_pandas(), dtype=object).map(u).fillna(0).to_numpy(dtype=np.float64)
         lp = np.log2((bc + 1) / (uc + v))
         # per-doc mean in token order: segment sums via cumsum + offsets
         ends = np.cumsum(n_pairs)

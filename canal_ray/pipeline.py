@@ -258,6 +258,17 @@ class CdcJob:
 
     def __init__(self, cfg: CdcConfig):
         self.cfg = cfg
+        if cfg.pipelined_cycles and cfg.exchange != "scatter":
+            # the overlap branch exists only in the scatter path; surface
+            # the silent-sequential combination instead of ignoring it
+            import warnings
+
+            warnings.warn(
+                "pipelined_cycles=True has no effect with exchange="
+                f"{cfg.exchange!r} (scatter exchange only); cycles will run "
+                "sequentially",
+                stacklevel=2,
+            )
         self.store = CheckpointStore(cfg.lake_dir)
         # txn-aligned epoch windows (filled by run() when enabled)
         self._cuts: dict[int, tuple[int, int]] = {}
@@ -817,13 +828,17 @@ class CdcJob:
         p = self._pending
         if p is None:
             return schema, 0
-        self._pending = None
         import time as _time
 
         from canal_ray.scatter import collect_gather
 
         _t0 = _time.perf_counter()
+        # _pending stays set until the collect SUCCEEDS: if a gather task
+        # fails here, the caller's _abort_pending must still see (and
+        # cancel) the sibling in-flight futures — clearing first would turn
+        # the abort into a no-op and leave zombie writers racing the re-run
         summaries = collect_gather(p["futures"])
+        self._pending = None
         if os.environ.get("CANAL_PHASE_TIMING"):
             print(
                 f"[phase] cycle e{p['cycle'][0][0]}: gather-flush="
