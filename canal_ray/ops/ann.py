@@ -111,6 +111,11 @@ def ann_cosine_topk(sf_dir: str, k: int = 10, n_queries: int = 8) -> pd.DataFram
         fn_constructor_args=(queries, k),
         batch_format="pandas",
         concurrency=2,
+        # Ray Data's MapWorker puts fn_constructor_args in the object store
+        # even when passed by value; restarts with store-held ctor args are
+        # the ray#53727 hazard. The stage is stateless-per-batch, so a lost
+        # actor is simply re-run by lineage — no restart needed.
+        max_restarts=0,
     )
 
     return _merge_topk(partials, k)
@@ -486,7 +491,11 @@ def embedding_cluster_assign(sf_dir: str, n_centroids: int = 8) -> pd.DataFrame:
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     df = ds.map_batches(
-        Assigner, fn_constructor_args=(centroids,), batch_format="pandas", concurrency=2
+        Assigner,
+        fn_constructor_args=(centroids,),
+        batch_format="pandas",
+        concurrency=2,
+        max_restarts=0,  # see BruteForceScorer: ray#53727
     ).to_pandas()
     return (
         df.astype({"vec_id": "int64", "centroid_id": "int64"})
