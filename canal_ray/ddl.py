@@ -63,30 +63,47 @@ _WIDENS = {
 }
 
 _TBL = r"ALTER\s+TABLE\s+(?:`?(?P<schema>\w+)`?\.)?`?(?P<table>\w+)`?\s+"
+_TBL_RE = re.compile(_TBL, re.IGNORECASE)
+# MySQL column-position hint (``ADD/MODIFY/CHANGE ... [FIRST | AFTER col]``).
+# Parsed and deliberately IGNORED: the slot model's positional wire contract
+# appends every new column to a stable slot (see module docstring), exactly
+# like MySQL's own hidden-column online DDL — display order is presentation,
+# slot order is identity.
+_POS = r"(?:\s+(?:FIRST|AFTER\s+`?\w+`?))?"
+# clause-level patterns (no ALTER TABLE prefix — multi-clause ALTER splits
+# the body on top-level commas and parses each clause with these)
 _ADD_RE = re.compile(
-    _TBL + r"ADD\s+COLUMN\s+`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\((?P<len>\d+)\))?",
+    r"ADD\s+COLUMN\s+`?(?P<col>\w+)`?\s+(?P<type>\w+)(?:\((?P<len>\d+)\))?" + _POS,
     re.IGNORECASE,
 )
 _MODIFY_RE = re.compile(
-    _TBL + r"(?:MODIFY|ALTER)\s+COLUMN\s+`?(?P<col>\w+)`?\s+(?:SET\s+DATA\s+TYPE\s+)?"
-    r"(?P<type>\w+)(?:\((?P<len>\d+)\))?",
+    r"(?:MODIFY|ALTER)\s+COLUMN\s+`?(?P<col>\w+)`?\s+(?:SET\s+DATA\s+TYPE\s+)?"
+    r"(?P<type>\w+)(?:\((?P<len>\d+)\))?" + _POS,
+    re.IGNORECASE,
+)
+# CHANGE COLUMN old new TYPE — MySQL's rename+retype in ONE clause
+# (DruidDdlParser handles it via SQLAlterTableChangeColumn; the reference's
+# MemoryTableMeta replays it as a single console() statement)
+_CHANGE_RE = re.compile(
+    r"CHANGE\s+(?:COLUMN\s+)?`?(?P<col>\w+)`?\s+`?(?P<to>\w+)`?\s+"
+    r"(?P<type>\w+)(?:\((?P<len>\d+)\))?" + _POS,
     re.IGNORECASE,
 )
 _RENAME_RE = re.compile(
-    _TBL + r"RENAME\s+COLUMN\s+`?(?P<col>\w+)`?\s+TO\s+`?(?P<to>\w+)`?",
+    r"RENAME\s+COLUMN\s+`?(?P<col>\w+)`?\s+TO\s+`?(?P<to>\w+)`?",
     re.IGNORECASE,
 )
-_DROP_RE = re.compile(_TBL + r"DROP\s+COLUMN\s+`?(?P<col>\w+)`?", re.IGNORECASE)
+_DROP_RE = re.compile(r"DROP\s+COLUMN\s+`?(?P<col>\w+)`?", re.IGNORECASE)
 # index DDL — the reference classifies these as their own event types
 # (EventType.CINDEX/DINDEX via DruidDdlParser SQLCreateIndex/SQLDropIndex
 # handling); they never change row data, only the table meta
 _ADD_IDX_RE = re.compile(
-    _TBL + r"ADD\s+(?:UNIQUE\s+)?(?:INDEX|KEY)\s+`?(?P<idx>\w+)`?\s*"
+    r"ADD\s+(?:UNIQUE\s+)?(?:INDEX|KEY)\s+`?(?P<idx>\w+)`?\s*"
     r"\((?P<cols>[^)]*)\)",
     re.IGNORECASE,
 )
 _DROP_IDX_RE = re.compile(
-    _TBL + r"DROP\s+(?:INDEX|KEY)\s+`?(?P<idx>\w+)`?", re.IGNORECASE
+    r"DROP\s+(?:INDEX|KEY)\s+`?(?P<idx>\w+)`?", re.IGNORECASE
 )
 
 
@@ -94,55 +111,103 @@ _DROP_IDX_RE = re.compile(
 class DdlResult:
     """Structured DDL (DruidDdlParser.DdlResult analog)."""
 
-    kind: str  # ADD_COLUMN | MODIFY_COLUMN | RENAME_COLUMN | DROP_COLUMN
-    #          | ADD_INDEX | DROP_INDEX (CINDEX/DINDEX event classes)
+    kind: str  # ADD_COLUMN | MODIFY_COLUMN | CHANGE_COLUMN | RENAME_COLUMN
+    #          | DROP_COLUMN | ADD_INDEX | DROP_INDEX (CINDEX/DINDEX classes)
     schema_name: str | None
     table: str
     column: str  # index name for ADD_INDEX/DROP_INDEX
-    arrow_type: str | None = None  # for ADD/MODIFY
-    new_name: str | None = None  # for RENAME
+    arrow_type: str | None = None  # for ADD/MODIFY/CHANGE
+    new_name: str | None = None  # for RENAME/CHANGE
     index_cols: tuple[str, ...] | None = None  # for ADD_INDEX
 
 
-def parse_ddl(sql: str) -> DdlResult | None:
-    """Parse one DDL statement of the supported dialect.
+def _split_clauses(body: str) -> list[str]:
+    """Split an ALTER body on TOP-LEVEL commas (commas inside parens — index
+    column lists, type lengths — don't split)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(body[start:i])
+            start = i + 1
+    out.append(body[start:])
+    return [c.strip() for c in out if c.strip()]
 
-    Returns None for unsupported statements (they are ignored, like Canal's
-    ``filterQueryDdl`` path drops unparseable DDL variants).
-    """
-    s = sql.strip()
-    m = _ADD_IDX_RE.match(s)
+
+def _parse_clause(clause: str, schema_name: str | None, table: str) -> DdlResult | None:
+    m = _ADD_IDX_RE.match(clause)
     if m:
         cols = tuple(c.strip().strip("`") for c in m.group("cols").split(",") if c.strip())
-        return DdlResult(
-            "ADD_INDEX", m.group("schema"), m.group("table"), m.group("idx"),
-            index_cols=cols,
-        )
-    m = _DROP_IDX_RE.match(s)
+        return DdlResult("ADD_INDEX", schema_name, table, m.group("idx"), index_cols=cols)
+    m = _DROP_IDX_RE.match(clause)
     if m:
-        return DdlResult("DROP_INDEX", m.group("schema"), m.group("table"), m.group("idx"))
-    m = _RENAME_RE.match(s)
+        return DdlResult("DROP_INDEX", schema_name, table, m.group("idx"))
+    m = _RENAME_RE.match(clause)
     if m:
         return DdlResult(
-            "RENAME_COLUMN", m.group("schema"), m.group("table"),
-            m.group("col"), new_name=m.group("to"),
+            "RENAME_COLUMN", schema_name, table, m.group("col"), new_name=m.group("to")
         )
-    m = _DROP_RE.match(s)
-    if m:
-        return DdlResult("DROP_COLUMN", m.group("schema"), m.group("table"), m.group("col"))
-    m = _ADD_RE.match(s)
+    m = _CHANGE_RE.match(clause)
     if m:
         t = _SQL_TO_ARROW.get(m.group("type").upper())
         if t is None:
             return None
-        return DdlResult("ADD_COLUMN", m.group("schema"), m.group("table"), m.group("col"), t)
-    m = _MODIFY_RE.match(s)
+        return DdlResult(
+            "CHANGE_COLUMN", schema_name, table, m.group("col"), t,
+            new_name=m.group("to"),
+        )
+    m = _DROP_RE.match(clause)
+    if m:
+        return DdlResult("DROP_COLUMN", schema_name, table, m.group("col"))
+    m = _ADD_RE.match(clause)
     if m:
         t = _SQL_TO_ARROW.get(m.group("type").upper())
         if t is None:
             return None
-        return DdlResult("MODIFY_COLUMN", m.group("schema"), m.group("table"), m.group("col"), t)
+        return DdlResult("ADD_COLUMN", schema_name, table, m.group("col"), t)
+    m = _MODIFY_RE.match(clause)
+    if m:
+        t = _SQL_TO_ARROW.get(m.group("type").upper())
+        if t is None:
+            return None
+        return DdlResult("MODIFY_COLUMN", schema_name, table, m.group("col"), t)
     return None
+
+
+def parse_ddl_clauses(sql: str) -> list[DdlResult]:
+    """Parse one ALTER statement into its clause list (MySQL multi-clause
+    ALTER: ``ALTER TABLE t ADD COLUMN a INT, DROP COLUMN b, ...``).
+
+    Mirrors DruidDdlParser walking every SQLAlterTableItem of one statement
+    (``parse/.../mysql/ddl/DruidDdlParser.java``). A statement with ANY
+    unsupported clause returns [] — partial application of an atomic ALTER
+    would desync the registry from the source, so the whole statement is
+    dropped, like Canal's unparseable-DDL path.
+    """
+    m = _TBL_RE.match(sql.strip())
+    if not m:
+        return []
+    results = []
+    for clause in _split_clauses(sql.strip()[m.end():]):
+        res = _parse_clause(clause, m.group("schema"), m.group("table"))
+        if res is None:
+            return []
+        results.append(res)
+    return results
+
+
+def parse_ddl(sql: str) -> DdlResult | None:
+    """Parse one single-clause DDL statement of the supported dialect.
+
+    Returns None for unsupported statements (they are ignored, like Canal's
+    ``filterQueryDdl`` path drops unparseable DDL variants) and for
+    multi-clause ALTERs — those callers use :func:`parse_ddl_clauses`.
+    """
+    clauses = parse_ddl_clauses(sql)
+    return clauses[0] if len(clauses) == 1 else None
 
 
 @dataclass
@@ -240,16 +305,66 @@ class TableSchema:
 
     # -- evolution --------------------------------------------------------
     def apply(self, ddl_sql: str) -> bool:
-        """Replay one DDL; returns True if the schema changed.
+        """Replay one DDL statement; returns True if the schema changed.
 
         Idempotent: re-applying an already-applied DDL (replayed batch after a
         checkpoint resume) is a no-op — the fencing analog of
         ``RdbSyncService.columnsTypeCache`` invalidation being safe to repeat.
+
+        Multi-clause ALTERs apply ATOMICALLY: clauses are staged on a copy in
+        statement order (so ``ADD COLUMN c, MODIFY c ...`` sees its own ADD)
+        and adopted only if every clause validates — a failing clause leaves
+        the registry exactly as before, matching MySQL's atomic ALTER.
         """
-        res = parse_ddl(ddl_sql)
-        if res is None:
+        clauses = parse_ddl_clauses(ddl_sql)
+        if not clauses:
             return False
+        if len(clauses) == 1:
+            return self._apply_one(clauses[0])
+        work = self.copy()
+        changed = False
+        for res in clauses:
+            changed = work._apply_one(res) or changed
+        self._slots = work._slots
+        self._indexes = work._indexes
+        return changed
+
+    def _apply_one(self, res: DdlResult) -> bool:
         active = {s.name: s for s in self._slots if not s.dropped}
+        if res.kind == "CHANGE_COLUMN":
+            # MySQL CHANGE COLUMN old new TYPE: rename + retype in one clause.
+            s = active.get(res.column)
+            if s is None:
+                # replay idempotency: rename already applied — only a widen
+                # can remain outstanding
+                s = active.get(res.new_name)
+                if s is None or s.type == res.arrow_type:
+                    return False
+                if (s.type, res.arrow_type) not in _WIDENS:
+                    raise ValueError(
+                        f"non-additive type change {res.new_name}: "
+                        f"{s.type} -> {res.arrow_type}"
+                    )
+                s.type = res.arrow_type
+                return True
+            changed = False
+            if res.new_name != s.name:
+                if res.new_name in active:
+                    raise ValueError(
+                        f"rename target {res.new_name!r} already exists"
+                    )
+                s.aliases.append(s.name)
+                s.name = res.new_name
+                changed = True
+            if s.type != res.arrow_type:
+                if (s.type, res.arrow_type) not in _WIDENS:
+                    raise ValueError(
+                        f"non-additive type change {res.column}: "
+                        f"{s.type} -> {res.arrow_type}"
+                    )
+                s.type = res.arrow_type
+                changed = True
+            return changed
         if res.kind == "ADD_COLUMN":
             if res.column in active:
                 return False  # idempotent replay

@@ -68,19 +68,24 @@ def replay_oracle(
         return out
 
     def _on_ddl(sql: str) -> None:
-        from canal_ray.ddl import parse_ddl
+        from canal_ray.ddl import parse_ddl_clauses
 
-        res = parse_ddl(sql)
+        clauses = parse_ddl_clauses(sql)
         changed = schema.apply(sql)
-        if not changed or res is None:
+        if not changed or not clauses:
             return
-        if res.kind == "RENAME_COLUMN":
-            for img in state.values():
-                if res.column in img:
-                    img[res.new_name] = img.pop(res.column)
-        elif res.kind == "DROP_COLUMN":
-            for img in state.values():
-                img.pop(res.column, None)
+        for res in clauses:
+            # state-dict fixups are idempotent per clause: after a rename the
+            # old key is gone, so a replayed rename/CHANGE is a no-op
+            if res.kind == "RENAME_COLUMN" or (
+                res.kind == "CHANGE_COLUMN" and res.new_name != res.column
+            ):
+                for img in state.values():
+                    if res.column in img:
+                        img[res.new_name] = img.pop(res.column)
+            elif res.kind == "DROP_COLUMN":
+                for img in state.values():
+                    img.pop(res.column, None)
 
     # rolled-back XA transactions (EntryProtocol.proto:202-222): their rows
     # never commit. Marker at-or-below the cut point required — a rollback
