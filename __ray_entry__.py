@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,
         "doc_minhash_dedup_keep": D.minhash_dedup_keep,
         "doc_ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        # BPE-ish regex token counting (GPT-2 pre-tokenizer subset; exact
+        # sequential-recompute oracle in-process)
+        "doc_bpe_token_counts": T.bpe_token_counts,
         # bigram-LM perplexity quality scoring (CCNet-style filter; model
         # trained distributed, broadcast, scored vectorized; count-exact +
         # 1e-9 score oracles in-process)

@@ -331,6 +331,10 @@ def bw_probe(num_cpus: int) -> None:
     def triad(seed: int) -> float:
         a = np.random.default_rng(seed).random(40_000_000)  # ~320 MB
         b = np.empty_like(a)
+        # untimed warm pass: np.empty_like maps but does not TOUCH pages, so
+        # without it the first timed iteration pays every page fault and the
+        # probe's run-to-run spread tracked fault luck, not bandwidth
+        np.multiply(a, 1.000001, out=b)
         s = 0.0
         t0 = time.perf_counter()
         for _ in range(6):

@@ -633,7 +633,8 @@ class SimHasher:
 def simhash_docs(sf_dir: str, hash_fn: str = "md5") -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
-        SimHasher, fn_constructor_args=(hash_fn,), batch_format="pandas", concurrency=2
+        SimHasher, fn_constructor_args=(hash_fn,), batch_format="pandas",
+        concurrency=2, max_restarts=0
     ).to_pandas()
 
 

@@ -293,6 +293,7 @@ def video_frame_features(
     )
     frames = vids.map_batches(
         FrameSampler, fn_constructor_args=(every,), batch_format="pyarrow",
+        max_restarts=0,
         batch_size=16, concurrency=concurrency,
     )
     # per-frame features run as a TASK pool, not a second actor pool: two

@@ -48,7 +48,78 @@ class TokenStats:
 
 def token_stats(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(TokenStats, batch_format="pandas", concurrency=2).to_pandas()
+    return ds.map_batches(
+        TokenStats, batch_format="pandas", concurrency=2, max_restarts=0
+    ).to_pandas()
+
+
+# GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py), RE2-
+# compatible subset — contractions, letter runs, digit runs, punctuation
+# runs (each optionally space-prefixed), then whitespace runs. The lookahead
+# `\s+(?!\S)` of the original is dropped (RE2/DuckDB have no lookahead);
+# whitespace-run counting is the documented contract here. Counting against
+# this pattern approximates BPE token counts ~2x better than whitespace
+# splitting (BPE merges happen WITHIN these pieces, never across).
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+class BpeTokenCounts:
+    """Actor-pool stage: BPE-ish token counts per document.
+
+    The pattern compiles ONCE per actor in ``__init__`` (the real tokenizer
+    swap-in point: load a merges/vocab file here at production scale);
+    ``__call__`` counts with the vectorized pandas ``str.count`` kernel."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(BPE_SPLIT_PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_bpe = batch["text"].str.count(self.pat).astype("int64")
+        ws = batch["text"].str.strip().str.split()
+        n_ws = ws.map(lambda w: len(w) if w else 1).astype("int64")
+        n_chars = batch["text"].str.len().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": n_bpe,
+                "n_ws_tokens": n_ws,
+                # chars-per-BPE-token: the standard quality/cost signal
+                # (low => symbol soup, high => long-word prose)
+                "chars_per_token": np.where(n_bpe > 0, n_chars / np.maximum(n_bpe, 1), 0.0),
+            }
+        )
+
+
+def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Token counting against a BPE-ish pre-tokenizer regex (the other half
+    of the prompt's token-counting pair next to whitespace ``token_stats``).
+
+    In-process oracle: a sequential ``re.findall`` recompute over the corpus
+    must match every count exactly (fixture-scale only; the distributed path
+    is the contract)."""
+    import re
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(
+            BpeTokenCounts, batch_format="pandas", concurrency=2, max_restarts=0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    seq = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_values("doc_id").reset_index(drop=True)
+    pat = re.compile(BPE_SPLIT_PATTERN)
+    want = np.array([len(pat.findall(t)) for t in seq["text"]], dtype=np.int64)
+    if not np.array_equal(out["n_bpe_tokens"].to_numpy(), want):
+        raise AssertionError("distributed BPE token counts diverged from sequential")
+    return out
 
 
 def quality_flags(sf_dir: str) -> pd.DataFrame:
@@ -68,7 +139,9 @@ def quality_flags(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    return ds.map_batches(Flags, batch_format="pandas", concurrency=2).to_pandas()
+    return ds.map_batches(
+        Flags, batch_format="pandas", concurrency=2, max_restarts=0
+    ).to_pandas()
 
 
 # deterministic per-language stopword profiles (public-knowledge heuristic;
@@ -105,7 +178,9 @@ class LangId:
 
 def lang_id(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
+    return ds.map_batches(
+        LangId, batch_format="pandas", concurrency=2, max_restarts=0
+    ).to_pandas()
 
 
 def _tok_hashes(toks: list[str], hash_fn: str) -> np.ndarray:
@@ -166,7 +241,7 @@ def doc_fingerprints(sf_dir: str, hash_fn: str = "md5") -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         Fingerprinter, fn_constructor_args=(4, hash_fn),
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=2, max_restarts=0,
     ).to_pandas()
 
 

@@ -302,3 +302,26 @@ def test_jaccard_hot_shingle_df_cap(ray_session, tmp_path):
     uncapped = ngram_jaccard_exact_pairs(str(tmp_path), max_df=256)
     # 30*29/2 hot pairs + the cold pair
     assert len(uncapped) == 30 * 29 // 2 + 1
+
+
+def test_bpe_token_counts(ray_session, tmp_path):
+    """BPE-ish counting runs its exact sequential-recompute oracle
+    in-process; here pin the contract on hand-checkable docs: contractions,
+    punctuation runs and digit runs each count as their own piece."""
+    from canal_ray.ops.text import bpe_token_counts
+
+    rows = [
+        # 'it | 's | 42 | ! | ! -> wait: " ?[^..]+" groups "!!" as ONE run
+        {"doc_id": 0, "text": "it's 42!!"},   # it / 's / ' 42' / '!!' = 4
+        {"doc_id": 1, "text": "hello world"},  # hello / ' world' = 2
+        {"doc_id": 2, "text": ""},             # no pieces = 0
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = bpe_token_counts(str(tmp_path)).set_index("doc_id")
+    assert out.loc[0, "n_bpe_tokens"] == 4
+    assert out.loc[1, "n_bpe_tokens"] == 2
+    assert out.loc[2, "n_bpe_tokens"] == 0
+    assert out.loc[1, "n_ws_tokens"] == 2
