@@ -539,18 +539,161 @@ def ngram_jaccard_exact_pairs(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _label_components_distributed(
+    sf_dir: str, pairs: pd.DataFrame, n_partitions: int = 16, max_rounds: int = 64
+) -> pd.DataFrame:
+    """Corpus-scale component labeling: iterative min-label propagation,
+    fully distributed — the escape hatch ``_label_components`` documents,
+    implemented (used automatically above ``CANAL_CC_DRIVER_MAX`` edges).
+
+    Shape (the standard BSP connected-components loop, e.g. Kiveris et al.
+    "Connected Components in MapReduce and Beyond", SoCC'14 — here the
+    plain propagation variant, right for near-dup clusters whose diameter
+    is small):
+
+      1. symmetrize edges -> adjacency (node, nbr);
+      2. labels(node) := min(node, min nbr)  [round 0 fused into init];
+      3. round: hash-join adjacency with labels on nbr, groupby(node) min
+         over {own label} ∪ {neighbour labels};
+      4. converged when sum(labels) stops falling (labels only ever
+         decrease, so the integer sum is a strictly monotone progress
+         measure — one tiny driver scalar per round, never the labels);
+      5. corpus LEFT OUTER JOIN labels: untouched docs are singletons.
+
+    Per round: one hash join + one groupby (2 exchanges over NODE-scale
+    data, never corpus-scale); rounds = component diameter. Labels are
+    ``materialize()``-d each round — that is the fixpoint state of an
+    iterative algorithm, bounded by the edge-touched node set, not the
+    corpus."""
+    if len(pairs) == 0:
+        out = (
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .to_pandas()
+        )
+        out["dup_of"] = out["doc_id"].astype("int64")
+        out["is_dup"] = False
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    adj = rd.from_arrow(
+        pa.table(
+            {
+                "node": np.concatenate([a, b]),
+                "nbr": np.concatenate([b, a]),
+            }
+        )
+    )
+
+    def _min_of(t: pa.Table, col_node: str, col_lbl: str) -> pa.Table:
+        df = pd.DataFrame(
+            {"node": t[col_node].to_numpy(), "label": t[col_lbl].to_numpy()}
+        )
+        m = df.groupby("node", as_index=False)["label"].min()
+        return pa.table(
+            {
+                "node": m["node"].to_numpy(dtype=np.int64),
+                "label": m["label"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    # labels := min(node, min nbr) — per-batch combiner then ONE groupby
+    labels = (
+        adj.map_batches(
+            lambda t: _min_of(
+                pa.table(
+                    {
+                        "n": pa.concat_arrays(
+                            [t["node"].combine_chunks(), t["node"].combine_chunks()]
+                        ),
+                        "l": pa.concat_arrays(
+                            [t["node"].combine_chunks(), t["nbr"].combine_chunks()]
+                        ),
+                    }
+                ),
+                "n",
+                "l",
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+        # sort-based groupby emits surplus partitions as schema-less EMPTY
+        # blocks (see BASELINE.md round-4 note); acero rejects them as join
+        # inputs ("no match for FieldRef node"), so coalesce — one extra
+        # node-scale exchange per round, the sanitization price
+        .repartition(n_partitions)
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        nbr_lbl = adj.join(
+            labels, join_type="inner", num_partitions=n_partitions,
+            on=("nbr",), right_on=("node",), right_suffix="_r",
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels_new = (
+            labels.union(nbr_lbl)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .repartition(n_partitions)  # same empty-block sanitization
+            .materialize()
+        )
+        new_sum = labels_new.sum("label")
+        labels = labels_new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    corpus = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    joined = corpus.join(
+        labels, join_type="left_outer", num_partitions=n_partitions,
+        on=("doc_id",), right_on=("node",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        lbl = t["label"].to_numpy(zero_copy_only=False)
+        dup = np.where(pd.isna(lbl), d, lbl).astype(np.int64)
+        return pa.table({"doc_id": d, "dup_of": dup, "is_dup": dup != d})
+
+    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# above this many verified edges the driver union-find in
+# _label_components gives way to the distributed propagation loop
+CC_DRIVER_MAX_EDGES = 5_000_000
+
+
 def _label_components(sf_dir: str, pairs: pd.DataFrame) -> pd.DataFrame:
     """Component labeling for the dedup-keep variants, 100 TB-shaped:
     union-find over the (tiny) verified edge set runs on the driver, is
     COLLAPSED to a flat sorted (doc -> root) array pair, broadcast once
     (``ray.put``), and every corpus batch resolves its labels with ONE
     vectorized ``np.searchsorted`` inside ``map_batches`` — the corpus
-    itself never lands on the driver and no per-row Python runs. (At 10^10
-    docs only the edge map rides the object store; the giant-component
-    escape hatch is iterative min-label propagation via groupby.)"""
+    itself never lands on the driver and no per-row Python runs. At 10^10
+    docs only the edge map rides the object store; past
+    ``CC_DRIVER_MAX_EDGES`` (env ``CANAL_CC_DRIVER_MAX``) the labeling
+    switches to :func:`_label_components_distributed` — the same contract
+    with zero driver-resident state (equality asserted in
+    tests/test_ops_approx.py)."""
     import ray
 
     from canal_ray.ops.util import cached_get
+
+    cap = int(os.environ.get("CANAL_CC_DRIVER_MAX", str(CC_DRIVER_MAX_EDGES)))
+    if len(pairs) > cap:
+        return _label_components_distributed(sf_dir, pairs)
 
     parent: dict[int, int] = {}
 

@@ -325,3 +325,59 @@ def test_bpe_token_counts(ray_session, tmp_path):
     assert out.loc[1, "n_bpe_tokens"] == 2
     assert out.loc[2, "n_bpe_tokens"] == 0
     assert out.loc[1, "n_ws_tokens"] == 2
+
+
+def test_distributed_component_labeling_matches_union_find(ray_session, tmp_path):
+    """The corpus-scale labeling path (iterative min-label propagation:
+    join + groupby per round) must produce EXACTLY the driver union-find's
+    labels — chain components exercise multi-round convergence (a path
+    graph's min label needs diameter rounds to reach the far end),
+    singletons exercise the left-outer corpus join."""
+    import pandas as pd
+
+    from canal_ray.ops.dedup import (
+        _label_components,
+        _label_components_distributed,
+    )
+
+    docs = pd.DataFrame({"doc_id": list(range(12))})
+    docs["text"] = "x"
+    docs["lang"] = "en"; docs["source"] = "s"; docs["n_chars"] = 1
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    # chain 0-1-2-3-4 (diameter 4 > 1 round), pair 7-9, singletons 5,6,8,10,11
+    pairs = pd.DataFrame(
+        {"doc_a": [0, 1, 2, 3, 7], "doc_b": [1, 2, 3, 4, 9]}
+    )
+
+    dist = _label_components_distributed(str(tmp_path), pairs)
+    want = _label_components(str(tmp_path), pairs)
+    pd.testing.assert_frame_equal(
+        dist.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    assert list(dist.loc[dist["doc_id"] <= 4, "dup_of"]) == [0] * 5
+    assert dist.loc[dist["doc_id"] == 9, "dup_of"].item() == 7
+    assert not dist.loc[dist["doc_id"].isin([5, 6, 8, 10, 11]), "is_dup"].any()
+
+
+def test_cc_driver_cap_switches_to_distributed(ray_session, tmp_path, monkeypatch):
+    """CANAL_CC_DRIVER_MAX=0 forces every edge set down the distributed
+    path through the public dedup-keep entry point."""
+    import pandas as pd
+
+    from canal_ray.ops.dedup import jaccard_dedup_keep
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "something else entirely here"},
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    monkeypatch.setenv("CANAL_CC_DRIVER_MAX", "0")
+    out = jaccard_dedup_keep(str(tmp_path)).set_index("doc_id")
+    assert out.loc[1, "dup_of"] == 0 and bool(out.loc[1, "is_dup"])
+    assert out.loc[0, "dup_of"] == 0 and not bool(out.loc[0, "is_dup"])
+    assert out.loc[2, "dup_of"] == 2 and not bool(out.loc[2, "is_dup"])
