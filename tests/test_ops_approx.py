@@ -381,3 +381,35 @@ def test_cc_driver_cap_switches_to_distributed(ray_session, tmp_path, monkeypatc
     assert out.loc[1, "dup_of"] == 0 and bool(out.loc[1, "is_dup"])
     assert out.loc[0, "dup_of"] == 0 and not bool(out.loc[0, "is_dup"])
     assert out.loc[2, "dup_of"] == 2 and not bool(out.loc[2, "is_dup"])
+
+
+def test_distributed_cc_random_graph(ray_session, tmp_path):
+    """Fixed-seed random graph (denser, multiple merged components) —
+    distributed propagation must agree with union-find exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from canal_ray.ops.dedup import (
+        _label_components,
+        _label_components_distributed,
+    )
+
+    n = 25
+    docs = pd.DataFrame({"doc_id": list(range(n))})
+    docs["text"] = "x"
+    docs["lang"] = "en"; docs["source"] = "s"; docs["n_chars"] = 1
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    rng = np.random.default_rng(777)
+    a = rng.integers(0, n, size=40)
+    b = rng.integers(0, n, size=40)
+    keep = a != b
+    pairs = pd.DataFrame(
+        {"doc_a": np.minimum(a[keep], b[keep]), "doc_b": np.maximum(a[keep], b[keep])}
+    ).drop_duplicates()
+
+    dist = _label_components_distributed(str(tmp_path), pairs)
+    want = _label_components(str(tmp_path), pairs)
+    pd.testing.assert_frame_equal(
+        dist.reset_index(drop=True), want.reset_index(drop=True)
+    )
