@@ -48,9 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDERING CONTRACT: the driver's correctness gate checks the FIRST 50
-    # entries, so every DuckDB-oracled query (exactly 50 — see oracle_sql())
-    # comes first; rows-only / self-oracled entries follow. Two composites
-    # keep the oracled set at 50 without dropping operators:
+    # entries, so 50 DuckDB-oracled queries come first; rows-only /
+    # self-oracled entries follow (one extra oracled query,
+    # user_sliding_window_stats, sits post-window with its parity asserted
+    # in pytest). Two composites keep the checked set at 50 without
+    # dropping operators:
     #   event_type_value_profile = event_type_stats + value_spread_by_type
     #                              + median_value_by_type (shared key)
     #   top_users_value_profile  = top_users_by_value + user_value_minmax
@@ -176,6 +178,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HyperLogLog distinct counts (fixed 2^p registers per group; merged
         # registers + 3-sigma band asserted in-process)
         "approx_distinct_users_by_type": R.approx_distinct_users_by_type,
+        # sliding event-time window per key (daily partials -> cumsum +
+        # searchsorted slide; completes the window family). Oracled in
+        # oracle_sql() but placed post-window — the driver's 50-row gate is
+        # full; DuckDB parity asserted in tests/test_ops_parity.py
+        "user_sliding_window_stats": R.user_sliding_window_stats,
         # --- probabilistic dedup (recall asserted in pytest) -------------
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,
         "doc_minhash_dedup_keep": D.minhash_dedup_keep,

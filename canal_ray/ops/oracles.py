@@ -225,6 +225,24 @@ RELATIONAL_SQL: dict[str, str] = {
                ), 4) AS running_value
         FROM events
     """,
+    # sliding event-time window per key (RANGE interval frame); value sums
+    # in exact int64 cents on both sides. Oracled-but-post-window: the
+    # driver's 50-row gate is already full, parity asserted in
+    # tests/test_ops_parity.py
+    "user_sliding_window_stats": """
+        WITH d AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*) AS n,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS value_c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, day,
+               CAST(sum(n) OVER w AS BIGINT)       AS n_7d,
+               CAST(sum(value_c) OVER w AS BIGINT) AS total_value_c_7d
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
     "purchase_prev_event": """
         WITH w AS (
             SELECT user_id, event_id, event_type,

@@ -477,6 +477,67 @@ def user_running_value(sf_dir: str) -> pd.DataFrame:
     return ds.groupby("_shard").map_groups(per_shard, batch_format="pandas").to_pandas()
 
 
+def user_sliding_window_stats(sf_dir: str, days: int = 7) -> pd.DataFrame:
+    """Sliding event-time window per key (the hopping/sliding streaming-window
+    analog, completing the window family next to tumbling
+    ``hourly_event_counts`` and gap-based ``sessionize_users``): for every
+    (user, active day), the event count and exact cent-scaled value sum over
+    the trailing ``days``-day window.
+
+    Shape (the standard two-level paired-window decomposition): tumbling
+    DAILY partials are combined inside ``map_batches`` first, so the one
+    exchange moves (user, day) partials — bounded by users x active days —
+    never the raw event stream; the sliding combination then runs inside
+    shard groups as a single vectorized cumsum + searchsorted pass (windows
+    cannot span users because the search key is user-rank-offset, and day
+    numbers since epoch dwarf any window length — no per-row or per-user
+    Python). Value sums are exact int64 'cents' on both sides (see
+    ``_cents``)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def day_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(),
+                "day": pc.floor_temporal(t["ts"], unit="day").to_pandas(),
+                "value_c": _cents(t["value"], 10_000.0).to_numpy(),
+            }
+        )
+        return df.groupby(["user_id", "day"], as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum")
+        )
+
+    parts = ds.map_batches(day_partial, batch_format="pyarrow").map_batches(
+        _with_shard("user_id"), batch_format="pandas"
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # finish the daily partial reduce, then slide
+        g = g.groupby(["user_id", "day"], as_index=False).agg(
+            n=("n", "sum"), value_c=("value_c", "sum")
+        )
+        g = g.sort_values(["user_id", "day"]).reset_index(drop=True)
+        dayno = (g["day"].to_numpy().astype("datetime64[D]")).astype(np.int64)
+        urank = g["user_id"].ne(g["user_id"].shift()).cumsum().to_numpy(dtype=np.int64)
+        key = urank * 10_000_000 + dayno
+        lo = np.searchsorted(key, key - (days - 1), side="left")
+        cum_n = np.concatenate([[0], np.cumsum(g["n"].to_numpy(dtype=np.int64))])
+        cum_v = np.concatenate([[0], np.cumsum(g["value_c"].to_numpy(dtype=np.int64))])
+        idx = np.arange(len(g))
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "day": g["day"],
+                "n_7d": cum_n[idx + 1] - cum_n[lo],
+                "total_value_c_7d": cum_v[idx + 1] - cum_v[lo],
+            }
+        )
+
+    out = parts.groupby("_shard").map_groups(per_shard, batch_format="pandas")
+    df = out.to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
+    return df.astype({"n_7d": "int64", "total_value_c_7d": "int64"})
+
+
 def purchase_prev_event(sf_dir: str) -> pd.DataFrame:
     """As-of lookup within a key: for every purchase, the immediately
     preceding event of the same user (pd lag within sorted groups)."""

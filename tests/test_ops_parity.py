@@ -73,6 +73,7 @@ def assert_parity(ray_df, sql: str):
         "distinct_customers_per_status",
         "customers_without_orders",
         "user_running_value",
+        "user_sliding_window_stats",
         "purchase_prev_event",
         "asof_purchase_last_view",
         "lineitem_rollup",
