@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE-ish regex token counting (GPT-2 pre-tokenizer subset; exact
         # sequential-recompute oracle in-process)
         "doc_bpe_token_counts": T.bpe_token_counts,
+        # BM25 keyword retrieval (lexical counterpart to the ANN family:
+        # bounded df/stats pass + vectorized scoring pass + partial top-k;
+        # sequential-recompute oracle in-process)
+        "doc_bm25_topk": T.bm25_topk,
         # bigram-LM perplexity quality scoring (CCNet-style filter; model
         # trained distributed, broadcast, scored vectorized; count-exact +
         # 1e-9 score oracles in-process)

@@ -813,3 +813,116 @@ def lm_perplexity(sf_dir: str) -> pd.DataFrame:
     if not np.allclose(got, np.round(want, 6), atol=1e-5):
         raise AssertionError("distributed LM scores diverged from sequential")
     return out
+
+
+def bm25_topk(
+    sf_dir: str,
+    query: str | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical-search
+    counterpart to the ANN family (Robertson/Sparck Jones probabilistic
+    weighting, the Lucene `(1 + (N - df + .5)/(df + .5))` idf form).
+
+    Scale shape, two bounded passes, nothing corpus-scale off-cluster:
+
+      1. stats pass: per batch, for the QUERY TERMS ONLY, a (term, df)
+         partial plus one corpus-stats sentinel row (n_docs, total_tokens)
+         — |terms|+1 rows per batch, folded on the driver;
+      2. scoring pass: per batch, vectorized token-boundary regex counts
+         per query term -> BM25 -> per-batch partial top-k (like the ANN
+         scorers); the driver merges the bounded partials.
+
+    Tokenization = whitespace split, term matches are whole-token
+    (``(?<!\\S)term(?!\\S)``), consistent with ``term_doc_frequency``.
+    ``query=None`` derives a deterministic demo query from the corpus's
+    top-3 DF terms. A sequential pandas recompute oracle asserts scores
+    in-process on every call (fixture-scale read, same family as
+    ``lm_perplexity``)."""
+    import re as _re
+
+    if query is None:
+        query = " ".join(term_doc_frequency(sf_dir, k=3)["term"])
+    terms = list(dict.fromkeys(query.strip().split()))
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    pats = {t: _re.compile(rf"(?<!\S){_re.escape(t)}(?!\S)") for t in terms}
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"]
+        n_toks = txt.str.strip().str.split().str.len().fillna(0).astype(np.int64)
+        rows = {
+            "term": ["\x00corpus"],
+            "df": [0],
+            "n_docs": [len(batch)],
+            "total_toks": [int(n_toks.sum())],
+        }
+        for t in terms:
+            rows["term"].append(t)
+            rows["df"].append(int((txt.str.count(pats[t]) > 0).sum()))
+            rows["n_docs"].append(0)
+            rows["total_toks"].append(0)
+        return pd.DataFrame(rows)
+
+    folded = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()  # bounded: batches x (|terms|+1) rows
+        .groupby("term", as_index=False)
+        .sum()
+    )
+    corpus = folded[folded["term"] == "\x00corpus"].iloc[0]
+    n_docs = int(corpus["n_docs"])
+    avgdl = max(float(corpus["total_toks"]) / max(n_docs, 1), 1e-9)
+    df_map = dict(zip(folded["term"], folded["df"]))
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5)))
+        for t in terms
+    }
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"]
+        dl = txt.str.strip().str.split().str.len().fillna(0).to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(len(batch))
+        for t in terms:
+            tf = txt.str.count(pats[t]).to_numpy(dtype=np.float64)
+            score += idf[t] * (tf * (k1 + 1.0)) / np.maximum(tf + norm, 1e-12)
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "score": np.round(score, 8)}
+        )
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+
+    partials = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    top = (
+        partials.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top = top[["rank", "doc_id", "score"]].astype({"doc_id": "int64"})
+
+    # ---- sequential oracle (exact recompute) -------------------------------
+    seq = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    toks = seq["text"].str.strip().str.split().map(lambda ws: ws if ws else [])
+    s_dl = toks.str.len().to_numpy(dtype=np.float64)
+    assert int(len(seq)) == n_docs and abs(float(s_dl.sum()) / max(n_docs, 1) - avgdl) < 1e-9
+    s_score = np.zeros(len(seq))
+    s_norm = k1 * (1.0 - b + b * s_dl / avgdl)
+    for t in terms:
+        s_tf = toks.map(lambda ws, _t=t: ws.count(_t)).to_numpy(dtype=np.float64)
+        s_df = int((s_tf > 0).sum())
+        assert s_df == df_map.get(t, 0), f"df mismatch for {t!r}"
+        s_idf = float(np.log(1.0 + (n_docs - s_df + 0.5) / (s_df + 0.5)))
+        s_score += s_idf * (s_tf * (k1 + 1.0)) / np.maximum(s_tf + s_norm, 1e-12)
+    s = pd.DataFrame({"doc_id": seq["doc_id"], "score": np.round(s_score, 8)})
+    s = s[s["score"] > 0].sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    if list(s["doc_id"]) != list(top["doc_id"]) or not np.allclose(
+        s["score"].to_numpy(), top["score"].to_numpy(), atol=1e-6
+    ):
+        raise AssertionError("distributed BM25 diverged from sequential recompute")
+    return top

@@ -413,3 +413,31 @@ def test_distributed_cc_random_graph(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         dist.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_bm25_topk_ranking(ray_session, tmp_path):
+    """Hand-checkable BM25 contract: higher tf ranks higher at equal length;
+    a rarer term outweighs a common one; docs without any query term are
+    absent. The op also asserts its exact sequential-recompute oracle
+    in-process on every call."""
+    import pandas as pd
+
+    from canal_ray.ops.text import bm25_topk
+
+    rows = [
+        {"doc_id": 0, "text": "apple apple apple pad pad pad pad"},  # tf=3
+        {"doc_id": 1, "text": "apple pad pad pad pad pad pad"},      # tf=1
+        {"doc_id": 2, "text": "banana pad pad pad pad pad pad"},     # rare term
+        {"doc_id": 3, "text": "pad pad pad pad pad pad pad"},        # no match
+    ]
+    # make 'apple' common (lower idf) and keep 'banana' rare (df=1)
+    for i in range(4, 14):
+        rows.append({"doc_id": i, "text": "apple filler filler filler filler filler filler"})
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = bm25_topk(str(tmp_path), query="apple banana", k=14)
+    assert 3 not in set(out["doc_id"])                      # no-match excluded
+    r = out.set_index("doc_id")["rank"]
+    assert r[2] < r[0] < r[1]   # rare banana > tf-3 apple > tf-1 apple
