@@ -15,6 +15,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from canal_ray.ops.util import self_oracle_enabled
+
 
 def _matrix(series: pd.Series) -> np.ndarray:
     M = np.stack(series.to_numpy()).astype(np.float64)
@@ -599,33 +601,34 @@ def embedding_kmeans(
     )
 
     # ------- sequential oracle: identical algorithm, single process -------
-    full = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    full = full.sort_values("vec_id").reset_index(drop=True)
-    X = _matrix(full["embedding"])
-    _, C2 = _load_queries(sf_dir, n_centroids)
-    for _ in range(n_iters):
-        best = np.argmax(X @ C2.T, axis=1)
-        for c in range(n_centroids):
-            m = best == c
-            if m.any():
-                v = X[m].sum(axis=0) / int(m.sum())
-                nrm = np.linalg.norm(v)
-                if nrm > 0:
-                    C2[c] = v / nrm
-    want = cids[np.argmax(X @ C2.T, axis=1)]
-    got = assign.set_index("vec_id").loc[full["vec_id"]]["centroid_id"].to_numpy()
-    # tolerance: a ulp-level argmax tie in an INTERMEDIATE round (possible —
-    # cross-batch sum order is nondeterministic) moves two centroids by
-    # O(1/n) and can legitimately flip a handful of nearby assignments, so
-    # exact equality would be a spurious production crash. A real merge bug
-    # (lost/duplicated partials) scrambles assignments wholesale; 0.5%
-    # separates the two regimes cleanly.
-    mismatch = int((got != want).sum())
-    if mismatch > max(1, len(want) // 200):
-        raise AssertionError(
-            f"distributed k-means diverged from sequential Lloyd "
-            f"({mismatch}/{len(want)} assignments differ)"
-        )
+    if self_oracle_enabled(len(assign), "kmeans_cluster_assign"):
+        full = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        full = full.sort_values("vec_id").reset_index(drop=True)
+        X = _matrix(full["embedding"])
+        _, C2 = _load_queries(sf_dir, n_centroids)
+        for _ in range(n_iters):
+            best = np.argmax(X @ C2.T, axis=1)
+            for c in range(n_centroids):
+                m = best == c
+                if m.any():
+                    v = X[m].sum(axis=0) / int(m.sum())
+                    nrm = np.linalg.norm(v)
+                    if nrm > 0:
+                        C2[c] = v / nrm
+        want = cids[np.argmax(X @ C2.T, axis=1)]
+        got = assign.set_index("vec_id").loc[full["vec_id"]]["centroid_id"].to_numpy()
+        # tolerance: a ulp-level argmax tie in an INTERMEDIATE round (possible —
+        # cross-batch sum order is nondeterministic) moves two centroids by
+        # O(1/n) and can legitimately flip a handful of nearby assignments, so
+        # exact equality would be a spurious production crash. A real merge bug
+        # (lost/duplicated partials) scrambles assignments wholesale; 0.5%
+        # separates the two regimes cleanly.
+        mismatch = int((got != want).sum())
+        if mismatch > max(1, len(want) // 200):
+            raise AssertionError(
+                f"distributed k-means diverged from sequential Lloyd "
+                f"({mismatch}/{len(want)} assignments differ)"
+            )
 
     out = (
         assign.groupby("centroid_id", as_index=False)

@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 # fixed MinHash parameters (deterministic; shared by tests)
@@ -540,7 +541,10 @@ def ngram_jaccard_exact_pairs(
 
 
 def _label_components_distributed(
-    sf_dir: str, pairs: pd.DataFrame, n_partitions: int = 16, max_rounds: int = 64
+    sf_dir: str,
+    pairs: pd.DataFrame,
+    n_partitions: int | None = None,
+    max_rounds: int = 64,
 ) -> pd.DataFrame:
     """Corpus-scale component labeling: iterative min-label propagation,
     fully distributed — the escape hatch ``_label_components`` documents,
@@ -573,6 +577,17 @@ def _label_components_distributed(
         out["dup_of"] = out["doc_id"].astype("int64")
         out["is_dup"] = False
         return out.sort_values("doc_id").reset_index(drop=True)
+
+    if n_partitions is None:
+        # scale the exchange width with the cluster (and the edge set) —
+        # a fixed 16-way exchange over a 10^10-doc corpus would serialize
+        # the final left-outer join; overridable for tests/tuning
+        env = os.environ.get("CANAL_CC_PARTITIONS")
+        if env:
+            n_partitions = max(1, int(env))
+        else:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_partitions = max(8, min(2 * cpus, 1 + len(pairs) // 250_000))
 
     a = pairs["doc_a"].to_numpy(dtype=np.int64)
     b = pairs["doc_b"].to_numpy(dtype=np.int64)
@@ -653,6 +668,16 @@ def _label_components_distributed(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # the sum was still falling when rounds ran out: the labels are
+        # partially propagated (components wider than max_rounds). Returning
+        # them would be silent incorrectness at exactly the scale (>5M
+        # edges, long dup chains) where this path engages — fail loudly.
+        raise RuntimeError(
+            f"connected-components propagation did not converge within "
+            f"{max_rounds} rounds (label sum still decreasing); raise "
+            f"max_rounds for high-diameter components"
+        )
 
     corpus = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     joined = corpus.join(

@@ -30,7 +30,12 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from canal_ray.ops.util import keep_last, round_columns
+from canal_ray.ops.util import (
+    keep_last,
+    parquet_num_rows,
+    round_columns,
+    self_oracle_enabled,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -518,6 +523,13 @@ def user_sliding_window_stats(sf_dir: str, days: int = 7) -> pd.DataFrame:
         )
         g = g.sort_values(["user_id", "day"]).reset_index(drop=True)
         dayno = (g["day"].to_numpy().astype("datetime64[D]")).astype(np.int64)
+        # rebase to the shard minimum (+ days-1) so key - (days-1) can never
+        # cross into the previous user's key range, even for timestamps at or
+        # before the 1970 epoch (raw dayno <= 0 would otherwise break the
+        # sorted-key invariant searchsorted relies on); a constant shift
+        # preserves all day differences, i.e. window membership
+        dayno = dayno - dayno.min() + (days - 1)
+        assert dayno.max() < 10_000_000 - days, "day span exceeds key packing"
         urank = g["user_id"].ne(g["user_id"].shift()).cumsum().to_numpy(dtype=np.int64)
         key = urank * 10_000_000 + dayno
         lo = np.searchsorted(key, key - (days - 1), side="left")
@@ -1208,26 +1220,30 @@ def approx_quantiles_by_type(sf_dir: str, n_buckets: int = 1024) -> pd.DataFrame
 
     # distributed-merge oracle: sequential single-pass recompute of the SAME
     # sketch must match the merged distributed sketch bucket-for-bucket
-    # (driver-side full read is the TEST oracle only, not the scale path)
-    seq = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    codes, uniques = pd.factorize(seq["event_type"])
-    b = np.clip(((seq["value"].to_numpy() - lo) / width).astype(np.int64), 0, n_buckets - 1)
-    cnt = np.bincount(codes * n_buckets + b, minlength=len(uniques) * n_buckets)
-    nz = np.flatnonzero(cnt)
-    want = (
-        pd.DataFrame(
-            {
-                "event_type": uniques[nz // n_buckets],
-                "bucket": (nz % n_buckets).astype(np.int64),
-                "n": cnt[nz].astype(np.int64),
-            }
+    # (driver-side full read is the TEST oracle only, not the scale path —
+    # size-gated so the op runs unchanged at 100x)
+    if self_oracle_enabled(
+        parquet_num_rows(f"{sf_dir}/events.parquet"), "approx_quantiles_by_type"
+    ):
+        seq = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        codes, uniques = pd.factorize(seq["event_type"])
+        b = np.clip(((seq["value"].to_numpy() - lo) / width).astype(np.int64), 0, n_buckets - 1)
+        cnt = np.bincount(codes * n_buckets + b, minlength=len(uniques) * n_buckets)
+        nz = np.flatnonzero(cnt)
+        want = (
+            pd.DataFrame(
+                {
+                    "event_type": uniques[nz // n_buckets],
+                    "bucket": (nz % n_buckets).astype(np.int64),
+                    "n": cnt[nz].astype(np.int64),
+                }
+            )
+            .sort_values(["event_type", "bucket"])
+            .reset_index(drop=True)
         )
-        .sort_values(["event_type", "bucket"])
-        .reset_index(drop=True)
-    )
-    got = hist.sort_values(["event_type", "bucket"]).reset_index(drop=True)
-    if not got[["event_type", "bucket", "n"]].astype({"n": "int64"}).equals(want):
-        raise AssertionError("distributed sketch diverged from sequential recompute")
+        got = hist.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+        if not got[["event_type", "bucket", "n"]].astype({"n": "int64"}).equals(want):
+            raise AssertionError("distributed sketch diverged from sequential recompute")
     return out
 
 
@@ -1304,27 +1320,31 @@ def approx_distinct_users_by_type(sf_dir: str, p_bits: int = 12) -> pd.DataFrame
     out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
     # oracle (a): merged registers == sequential recompute, bit for bit
-    seq = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    want = (
-        _registers(seq)
-        .sort_values(["event_type", "register"])
-        .reset_index(drop=True)
-    )
-    got = (
-        merged.astype({"rank": "int64"})
-        .sort_values(["event_type", "register"])
-        .reset_index(drop=True)[["event_type", "register", "rank"]]
-    )
-    if not got.equals(want):
-        raise AssertionError("merged HLL registers diverged from sequential recompute")
-    # oracle (b): within 3 standard errors of the exact distinct count
-    exact = (
-        seq.drop_duplicates()
-        .groupby("event_type")["user_id"]
-        .nunique()
-    )
-    for _, r in out.iterrows():
-        true = int(exact[r["event_type"]])
-        if abs(r["n_users_approx"] - true) > max(3 * 1.04 / np.sqrt(m) * true, 3):
-            raise AssertionError("HLL estimate outside 3-sigma band")
+    # (size-gated: the recompute reads the full table onto the driver)
+    if self_oracle_enabled(
+        parquet_num_rows(f"{sf_dir}/events.parquet"), "approx_distinct_users_by_type"
+    ):
+        seq = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        want = (
+            _registers(seq)
+            .sort_values(["event_type", "register"])
+            .reset_index(drop=True)
+        )
+        got = (
+            merged.astype({"rank": "int64"})
+            .sort_values(["event_type", "register"])
+            .reset_index(drop=True)[["event_type", "register", "rank"]]
+        )
+        if not got.equals(want):
+            raise AssertionError("merged HLL registers diverged from sequential recompute")
+        # oracle (b): within 3 standard errors of the exact distinct count
+        exact = (
+            seq.drop_duplicates()
+            .groupby("event_type")["user_id"]
+            .nunique()
+        )
+        for _, r in out.iterrows():
+            true = int(exact[r["event_type"]])
+            if abs(r["n_users_approx"] - true) > max(3 * 1.04 / np.sqrt(m) * true, 3):
+                raise AssertionError("HLL estimate outside 3-sigma band")
     return out

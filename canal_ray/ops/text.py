@@ -16,6 +16,8 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from canal_ray.ops.util import parquet_num_rows, self_oracle_enabled
+
 # shared with the SQL oracle — keep lists identical
 STOPWORDS = ("a", "the", "key", "row", "value", "table")
 
@@ -30,15 +32,16 @@ class TokenStats:
         # empty/whitespace-only docs tokenize to [''] exactly like the DuckDB
         # oracle's regexp_split_to_array(trim(text), '\s+') — n_tokens=1,
         # ratios 0.0 (a bare [] would divide by zero into NaN and break
-        # parity); simhash/fingerprints defend the same case
-        toks = batch["text"].str.strip().str.split().map(lambda ws: ws if ws else [""])
+        # parity); simhash/fingerprints defend the same case. NULL text
+        # splits to NaN (truthy!), hence the isinstance check, not `if ws`
+        toks = batch["text"].str.strip().str.split().map(lambda ws: ws if (isinstance(ws, list) and ws) else [""])
         n_tokens = toks.str.len().astype("int64")
         tok_chars = toks.map(lambda ws: sum(len(w) for w in ws))
         n_stop = toks.map(lambda ws: sum(w in self.stop for w in ws))
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars": batch["text"].str.len().astype("int64"),
+                "n_chars": batch["text"].str.len().fillna(0).astype("int64"),
                 "n_tokens": n_tokens,
                 "mean_token_len": tok_chars / n_tokens,
                 "stopword_ratio": n_stop / n_tokens,
@@ -112,13 +115,14 @@ def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    seq = pd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).sort_values("doc_id").reset_index(drop=True)
-    pat = re.compile(BPE_SPLIT_PATTERN)
-    want = np.array([len(pat.findall(t)) for t in seq["text"]], dtype=np.int64)
-    if not np.array_equal(out["n_bpe_tokens"].to_numpy(), want):
-        raise AssertionError("distributed BPE token counts diverged from sequential")
+    if self_oracle_enabled(len(out), "bpe_token_counts"):
+        seq = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).sort_values("doc_id").reset_index(drop=True)
+        pat = re.compile(BPE_SPLIT_PATTERN)
+        want = np.array([len(pat.findall(t)) for t in seq["text"]], dtype=np.int64)
+        if not np.array_equal(out["n_bpe_tokens"].to_numpy(), want):
+            raise AssertionError("distributed BPE token counts diverged from sequential")
     return out
 
 
@@ -462,7 +466,7 @@ def seq_pack(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.strip().str.split().map(lambda ws: ws if ws else [""])
+        toks = b["text"].str.strip().str.split().map(lambda ws: ws if (isinstance(ws, list) and ws) else [""])
         return pd.DataFrame(
             {"doc_id": b["doc_id"], "n_tokens": toks.str.len().astype("int64")}
         )
@@ -596,27 +600,30 @@ def top_bigrams_sketch(sf_dir: str, k_counters: int = 64, k_out: int = 10) -> pd
     #     is then vacuous but the BOUND is still computed and reported);
     # (b) every candidate's n_approx sits in [exact - total_forgiven, exact]
     #     (sequential exact recount of just the candidates; test oracle only)
-    exact = top_bigrams(sf_dir, k=5)
-    ex_top = dict(zip(exact["bigram"], exact["n"]))
-    lost_guaranteed = {
-        b for b, n in ex_top.items() if n > total_forgiven
-    } - set(agg["bigram"])
-    if lost_guaranteed:
-        raise AssertionError(f"sketch lost guaranteed heavy hitters: {lost_guaranteed}")
+    if self_oracle_enabled(
+        parquet_num_rows(f"{sf_dir}/documents.parquet"), "top_bigrams_sketch"
+    ):
+        exact = top_bigrams(sf_dir, k=5)
+        ex_top = dict(zip(exact["bigram"], exact["n"]))
+        lost_guaranteed = {
+            b for b, n in ex_top.items() if n > total_forgiven
+        } - set(agg["bigram"])
+        if lost_guaranteed:
+            raise AssertionError(f"sketch lost guaranteed heavy hitters: {lost_guaranteed}")
 
-    cand = set(out["bigram"])
-    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])["text"]
-    ex_cand: dict[str, int] = {b: 0 for b in cand}
-    for t in texts:
-        ws = t.strip().split()
-        for a, b in zip(ws, ws[1:]):
-            bg = f"{a} {b}"
-            if bg in ex_cand:
-                ex_cand[bg] += 1
-    for _, r in out.iterrows():
-        err = ex_cand[r["bigram"]] - r["n_approx"]
-        if err < 0 or err > total_forgiven:
-            raise AssertionError("sketch count outside Misra-Gries bound")
+        cand = set(out["bigram"])
+        texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])["text"]
+        ex_cand: dict[str, int] = {b: 0 for b in cand}
+        for t in texts:
+            ws = t.strip().split()
+            for a, b in zip(ws, ws[1:]):
+                bg = f"{a} {b}"
+                if bg in ex_cand:
+                    ex_cand[bg] += 1
+        for _, r in out.iterrows():
+            err = ex_cand[r["bigram"]] - r["n_approx"]
+            if err < 0 or err > total_forgiven:
+                raise AssertionError("sketch count outside Misra-Gries bound")
     return out
 
 
@@ -634,7 +641,7 @@ def term_doc_frequency(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.strip().str.split().map(lambda ws: ws if ws else [""])
+        toks = b["text"].str.strip().str.split().map(lambda ws: ws if (isinstance(ws, list) and ws) else [""])
         flat = pd.DataFrame(
             {
                 "doc_id": np.repeat(b["doc_id"].to_numpy(), toks.str.len()),
@@ -785,33 +792,34 @@ def lm_perplexity(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
 
-    # ---- sequential oracle (exact) ---------------------------------------
-    seq = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    s_uni: dict = {}
-    s_big: dict = {}
-    for text in seq["text"]:
-        ws = text.strip().split() or [""]
-        for w in ws:
-            s_uni[w] = s_uni.get(w, 0) + 1
-        for a, c in zip(ws, ws[1:]):
-            k = f"{a} {c}"
-            s_big[k] = s_big.get(k, 0) + 1
-    if s_uni != uni or s_big != big:
-        raise AssertionError("distributed LM counts diverged from sequential")
-    # per-doc score check vs a direct (non-segmented) evaluation
-    want = np.zeros(len(seq))
-    for i, text in enumerate(seq["text"]):
-        ws = text.strip().split() or [""]
-        if len(ws) < 2:
-            continue
-        lps = [
-            np.log2((s_big.get(f"{a} {c}", 0) + 1) / (s_uni.get(a, 0) + V))
-            for a, c in zip(ws, ws[1:])
-        ]
-        want[i] = float(np.sum(lps)) / (len(ws) - 1)
-    got = out.set_index("doc_id").loc[seq["doc_id"]]["avg_logp"].to_numpy()
-    if not np.allclose(got, np.round(want, 6), atol=1e-5):
-        raise AssertionError("distributed LM scores diverged from sequential")
+    # ---- sequential oracle (exact, size-gated) ----------------------------
+    if self_oracle_enabled(len(out), "lm_perplexity"):
+        seq = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        s_uni: dict = {}
+        s_big: dict = {}
+        for text in seq["text"]:
+            ws = text.strip().split() or [""]
+            for w in ws:
+                s_uni[w] = s_uni.get(w, 0) + 1
+            for a, c in zip(ws, ws[1:]):
+                k = f"{a} {c}"
+                s_big[k] = s_big.get(k, 0) + 1
+        if s_uni != uni or s_big != big:
+            raise AssertionError("distributed LM counts diverged from sequential")
+        # per-doc score check vs a direct (non-segmented) evaluation
+        want = np.zeros(len(seq))
+        for i, text in enumerate(seq["text"]):
+            ws = text.strip().split() or [""]
+            if len(ws) < 2:
+                continue
+            lps = [
+                np.log2((s_big.get(f"{a} {c}", 0) + 1) / (s_uni.get(a, 0) + V))
+                for a, c in zip(ws, ws[1:])
+            ]
+            want[i] = float(np.sum(lps)) / (len(ws) - 1)
+        got = out.set_index("doc_id").loc[seq["doc_id"]]["avg_logp"].to_numpy()
+        if not np.allclose(got, np.round(want, 6), atol=1e-5):
+            raise AssertionError("distributed LM scores diverged from sequential")
     return out
 
 
@@ -906,23 +914,24 @@ def bm25_topk(
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top = top[["rank", "doc_id", "score"]].astype({"doc_id": "int64"})
 
-    # ---- sequential oracle (exact recompute) -------------------------------
-    seq = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    toks = seq["text"].str.strip().str.split().map(lambda ws: ws if ws else [])
-    s_dl = toks.str.len().to_numpy(dtype=np.float64)
-    assert int(len(seq)) == n_docs and abs(float(s_dl.sum()) / max(n_docs, 1) - avgdl) < 1e-9
-    s_score = np.zeros(len(seq))
-    s_norm = k1 * (1.0 - b + b * s_dl / avgdl)
-    for t in terms:
-        s_tf = toks.map(lambda ws, _t=t: ws.count(_t)).to_numpy(dtype=np.float64)
-        s_df = int((s_tf > 0).sum())
-        assert s_df == df_map.get(t, 0), f"df mismatch for {t!r}"
-        s_idf = float(np.log(1.0 + (n_docs - s_df + 0.5) / (s_df + 0.5)))
-        s_score += s_idf * (s_tf * (k1 + 1.0)) / np.maximum(s_tf + s_norm, 1e-12)
-    s = pd.DataFrame({"doc_id": seq["doc_id"], "score": np.round(s_score, 8)})
-    s = s[s["score"] > 0].sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
-    if list(s["doc_id"]) != list(top["doc_id"]) or not np.allclose(
-        s["score"].to_numpy(), top["score"].to_numpy(), atol=1e-6
-    ):
-        raise AssertionError("distributed BM25 diverged from sequential recompute")
+    # ---- sequential oracle (exact recompute, size-gated) -------------------
+    if self_oracle_enabled(n_docs, "bm25_topk"):
+        seq = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        toks = seq["text"].str.strip().str.split().map(lambda ws: ws if isinstance(ws, list) else [])
+        s_dl = toks.str.len().to_numpy(dtype=np.float64)
+        assert int(len(seq)) == n_docs and abs(float(s_dl.sum()) / max(n_docs, 1) - avgdl) < 1e-9
+        s_score = np.zeros(len(seq))
+        s_norm = k1 * (1.0 - b + b * s_dl / avgdl)
+        for t in terms:
+            s_tf = toks.map(lambda ws, _t=t: ws.count(_t)).to_numpy(dtype=np.float64)
+            s_df = int((s_tf > 0).sum())
+            assert s_df == df_map.get(t, 0), f"df mismatch for {t!r}"
+            s_idf = float(np.log(1.0 + (n_docs - s_df + 0.5) / (s_df + 0.5)))
+            s_score += s_idf * (s_tf * (k1 + 1.0)) / np.maximum(s_tf + s_norm, 1e-12)
+        s = pd.DataFrame({"doc_id": seq["doc_id"], "score": np.round(s_score, 8)})
+        s = s[s["score"] > 0].sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        if list(s["doc_id"]) != list(top["doc_id"]) or not np.allclose(
+            s["score"].to_numpy(), top["score"].to_numpy(), atol=1e-6
+        ):
+            raise AssertionError("distributed BM25 diverged from sequential recompute")
     return top

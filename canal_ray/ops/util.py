@@ -2,10 +2,51 @@
 
 from __future__ import annotations
 
+import logging
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_oracle_log = logging.getLogger("canal_ray.self_oracle")
+
+# default row cap above which in-op self-oracles auto-skip
+SELF_ORACLE_DEFAULT_MAX_ROWS = 1_000_000
+
+
+def self_oracle_enabled(n_rows: int, what: str) -> bool:
+    """Gate for the in-op full-corpus self-oracles.
+
+    Several ops (bm25_topk, lm_perplexity, bpe_token_counts, the sketch
+    bound checks, the cdc smokes) re-verify their distributed result against
+    a sequential in-process recompute on every call. That is a fixture-scale
+    verification device: at 100x the data the op would be killed by its own
+    oracle, not its pipeline. Every registered op must be runnable at scale
+    UNCHANGED, so the oracle auto-skips (with a logged warning naming what
+    was skipped) once the verified input exceeds
+    ``CANAL_SELF_ORACLE_MAX_ROWS`` (default 1e6 rows; set it negative to
+    force oracles on at any size, 0 to disable them entirely).
+    """
+    raw = os.environ.get("CANAL_SELF_ORACLE_MAX_ROWS", "").strip()
+    cap = int(raw) if raw else SELF_ORACLE_DEFAULT_MAX_ROWS
+    if cap < 0 or n_rows <= cap:
+        return True
+    _oracle_log.warning(
+        "self-oracle SKIPPED for %s: %d input rows > cap %d "
+        "(CANAL_SELF_ORACLE_MAX_ROWS); distributed result returned unverified",
+        what, n_rows, cap,
+    )
+    return False
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from the parquet FOOTER only — no column data is read, so
+    this is a safe O(1) probe for the self-oracle gate at any scale."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(path).metadata.num_rows)
 
 
 def keep_last(table: pa.Table, keys: list[str], order: list[str]) -> pa.Table:
