@@ -1,15 +1,25 @@
-"""Multimodal (image/audio/video) column plumbing — real Ray, stubbed codecs.
+"""Multimodal (image/audio/video) column plumbing — real Ray, real + stubbed codecs.
 
 Media are opaque ``binary`` columns with typed metadata, processed by
 actor-pool ``map_batches`` stages with small batch sizes (wide binary rows:
 batch_size x concurrency must fit worker heaps — the block-size discipline of
 SURVEY.md §7.5 "wide rows").
 
-The container has no image/audio libraries, so the codec layer is explicitly
-stubbed: real decode raises ``NotImplementedError`` unless PIL/soundfile are
-importable, and a clearly-marked deterministic FAKE codec (a tiny header +
-seeded pseudo-pixels) exercises the full Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — which is what the engine owns.
+Codec layer, three tiers:
+
+1. REAL stdlib-only decoders — WAV (PCM via the stdlib ``wave`` module),
+   PPM (P6 binary, header + raster parse) and BMP (24bpp BI_RGB, header +
+   padded bottom-up BGR raster). These are genuine end-to-end media paths:
+   bytes produced by any standard tool decode here with no dependencies.
+2. A clearly-marked deterministic FAKE codec (tiny header + seeded
+   pseudo-pixels) that exercises the same plumbing for formats we can't
+   decode, keeping fixtures cheap.
+3. Formats that require a real library (JPEG/PNG/MP4/FLAC...) raise
+   ``NotImplementedError`` unless PIL/soundfile are importable — honestly
+   gated, never silently faked.
+
+``decode_image`` / ``decode_audio`` sniff the payload magic and dispatch
+across the tiers, so one actor pool processes mixed-format columns.
 """
 
 from __future__ import annotations
@@ -41,20 +51,176 @@ def decode_fake_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, c, px.reshape(h, w, c)
 
 
+# --------------------------------------------------------------------------
+# REAL stdlib-only codecs: PPM (P6), BMP (24bpp BI_RGB), WAV (PCM 16-bit).
+# These parse/produce the actual public file formats byte-for-byte — no
+# third-party library involved — so the pipelines below are genuine
+# end-to-end media paths for these formats.
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("PPM P6 is 3-channel RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Binary PPM (P6) -> (w, h, 3, pixels). Handles whitespace and
+    ``#`` comment lines in the header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates maxval from the raster
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError("only maxval-255 PPM supported")
+    px = np.frombuffer(payload, dtype=np.uint8, offset=pos, count=w * h * 3)
+    return w, h, 3, px.reshape(h, w, 3)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24bpp BI_RGB BMP (bottom-up, BGR, rows padded
+    to 4 bytes — the classic Windows DIB layout)."""
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("24bpp BMP is 3-channel")
+    row = w * 3
+    pad = (-row) % 4
+    bgr = np.ascontiguousarray(px[::-1, :, ::-1], dtype=np.uint8).reshape(h, row)
+    if pad:
+        padded = np.zeros((h, row + pad), dtype=np.uint8)
+        padded[:, :row] = bgr
+        raster = padded.tobytes()
+    else:
+        raster = bgr.tobytes()
+    data_off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + raster
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """24bpp BI_RGB BMP -> (w, h, 3, RGB pixels). Supports bottom-up (the
+    default) and top-down (negative height) rasters."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24bpp uncompressed (BI_RGB) BMP supported")
+    h, topdown = abs(h_signed), h_signed < 0
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(payload, dtype=np.uint8, offset=data_off, count=stride * h)
+    px = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    if not topdown:
+        px = px[::-1]
+    return w, h, 3, np.ascontiguousarray(px)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono int16 samples -> RIFF/WAVE PCM bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM bytes -> (sample_rate, mono int16 samples). Multi-channel
+    input is downmixed by mean (stdlib ``wave``; 16-bit PCM only)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        sr = w.getframerate()
+        x = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        ch = w.getnchannels()
+        if ch > 1:
+            x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
+    return sr, x
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Magic-sniffing image decode: FAKEIMG | PPM (P6) | BMP (24bpp BI_RGB)
+    natively; anything else (JPEG/PNG/...) is honestly gated on PIL."""
+    if payload[: len(_MAGIC)] == _MAGIC:
+        return decode_fake_image(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "unrecognized image format (JPEG/PNG need PIL, which is not installed); "
+        "native formats: FAKEIMG, PPM(P6), BMP(24bpp)"
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Magic-sniffing audio decode: FAKEAUD | WAV (RIFF PCM) natively;
+    anything else (MP3/FLAC/...) is honestly gated on soundfile."""
+    if payload[: len(_AMAGIC)] == _AMAGIC:
+        return decode_fake_audio(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "unrecognized audio format (MP3/FLAC need soundfile, which is not "
+        "installed); native formats: FAKEAUD, WAV(16-bit PCM)"
+    )
+
+
 def synthesize_media(out_path: str, n: int = 256, seed: int = 99) -> str:
-    """Write a media.parquet of fake image payloads with typed metadata."""
+    """Write a media.parquet of image payloads with typed metadata — a MIX of
+    real formats (PPM, BMP — decoded by the stdlib-only codecs above) and the
+    FAKEIMG container, exactly as a production media column mixes sources."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         w = int(rng.integers(16, 64))
         h = int(rng.integers(16, 64))
+        if i % 3 == 1:
+            px = np.random.default_rng(seed * 1_000_003 + i).integers(
+                0, 256, size=(h, w, 3), dtype=np.uint8
+            )
+            payload = encode_ppm(px)
+        elif i % 3 == 2:
+            px = np.random.default_rng(seed * 1_000_003 + i).integers(
+                0, 256, size=(h, w, 3), dtype=np.uint8
+            )
+            payload = encode_bmp(px)
+        else:
+            payload = encode_fake_image(seed * 1_000_003 + i, w, h)
         rows.append(
             {
                 "media_id": i,
                 "kind": "image",
                 "width": w,
                 "height": h,
-                "payload": encode_fake_image(seed * 1_000_003 + i, w, h),
+                "payload": payload,
             }
         )
     tbl = pa.table(
@@ -98,7 +264,7 @@ class ImageFeatures:
         for media_id, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            w, h, c, px = decode_fake_image(payload)
+            w, h, c, px = decode_image(payload)
             ids.append(media_id)
             widths.append(w)
             heights.append(h)
@@ -129,7 +295,7 @@ class Thumbnailer:
         for media_id, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            w, h, c, px = decode_fake_image(payload)
+            w, h, c, px = decode_image(payload)
             ys = np.linspace(0, h - 1, self.out).astype(int)
             xs = np.linspace(0, w - 1, self.out).astype(int)
             thumb = px[np.ix_(ys, xs)].tobytes()
@@ -211,7 +377,7 @@ class AudioFeatures:
         for media_id, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            sr, x = decode_fake_audio(payload)
+            sr, x = decode_audio(payload)
             f = x.astype(np.float64)
             ids.append(media_id)
             durs.append(len(x) / sr)
@@ -263,7 +429,14 @@ def synthesize_av_media(out_path: str, n: int = 64, seed: int = 77) -> str:
     for i in range(n):
         if i % 2 == 0:
             ns = int(rng.integers(8_000, 48_000))
-            rows.append(("audio", encode_fake_audio(seed * 7 + i, ns)))
+            if i % 4 == 2:
+                # REAL RIFF/WAVE bytes (stdlib wave), same seeded samples
+                smp = np.random.default_rng(seed * 7 + i).integers(
+                    -(1 << 14), 1 << 14, size=ns, dtype=np.int16
+                )
+                rows.append(("audio", encode_wav(smp, 16_000)))
+            else:
+                rows.append(("audio", encode_fake_audio(seed * 7 + i, ns)))
         else:
             w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
             nf = int(rng.integers(4, 24))
@@ -337,8 +510,10 @@ def multimodal_media_features(sf_dir: str) -> pd.DataFrame:
 
     root = "/tmp/canal_ray_media"
     os.makedirs(root, exist_ok=True)
-    img_path = os.path.join(root, "media.parquet")
-    av_path = os.path.join(root, "av_media.parquet")
+    # _v2: the r5 synthesizers mix REAL formats (PPM/BMP/WAV) into the
+    # columns — a fixture format change must not be served by a stale cache
+    img_path = os.path.join(root, "media_v2.parquet")
+    av_path = os.path.join(root, "av_media_v2.parquet")
     if not os.path.exists(img_path):
         synthesize_media(img_path, n=256, seed=99)
     if not os.path.exists(av_path):
@@ -352,8 +527,9 @@ def multimodal_media_features(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     t = pq.read_table(img_path, columns=["media_id", "payload"])
-    for i in (0, 128, 255):
-        w, h, c, px = decode_fake_image(t["payload"][i].as_py())
+    # indices 0/1/2 mod 3 cover all three on-disk formats (FAKEIMG/PPM/BMP)
+    for i in (0, 127, 254):
+        w, h, c, px = decode_image(t["payload"][i].as_py())
         row = img[img["media_id"] == t["media_id"][i].as_py()].iloc[0]
         if int(row["width"]) != w or abs(
             row["mean_luma"] - round(float(px.astype(np.float64).mean()), 6)
@@ -361,11 +537,12 @@ def multimodal_media_features(sf_dir: str) -> pd.DataFrame:
             raise AssertionError("image feature stage diverged from direct decode")
     ta = pq.read_table(av_path, columns=["media_id", "kind", "payload"])
     kinds = ta["kind"].to_pylist()
-    a_i = kinds.index("audio")
-    sr, x = decode_fake_audio(ta["payload"][a_i].as_py())
-    arow = aud[aud["media_id"] == ta["media_id"][a_i].as_py()].iloc[0]
-    if abs(arow["duration_s"] - round(len(x) / sr, 6)) > 1e-9:
-        raise AssertionError("audio feature stage diverged from direct decode")
+    # spot-check one FAKEAUD row and one real-WAV row
+    for a_i in (kinds.index("audio"), kinds.index("audio") + 2):
+        sr, x = decode_audio(ta["payload"][a_i].as_py())
+        arow = aud[aud["media_id"] == ta["media_id"][a_i].as_py()].iloc[0]
+        if abs(arow["duration_s"] - round(len(x) / sr, 6)) > 1e-9:
+            raise AssertionError("audio feature stage diverged from direct decode")
 
     img = img.assign(kind="image", frame_idx=-1, duration_s=np.nan)
     aud = aud.assign(kind="audio", frame_idx=-1, width=-1, mean_luma=np.nan)
