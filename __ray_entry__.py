@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from canal_ray.ops import text as T
 
     from canal_ray.ops.cdc_smoke import (
+        cdc_ann_index_follow,
         cdc_connector_drain,
         cdc_derived_event_stats,
         cdc_flat_produce,
@@ -172,6 +173,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sharded-source fan-in (GroupEventParser timeline-barrier analog):
         # two shard logs merged, replayed, oracle-asserted in-process
         "cdc_group_merge": cdc_group_merge,
+        # CDC-maintained ANN index (ESSyncService "index follows the table"
+        # analog fused with the persisted IVF index): embedding change
+        # stream -> incremental bucket maintenance -> probe; fresh-built
+        # reference equality asserted in-process (size-gated)
+        "cdc_ann_index_follow": cdc_ann_index_follow,
         # mergeable histogram-sketch quantiles (the 10^8-values/group scale
         # path; merge-oracle + exact-tracking asserts in-process)
         "approx_quantiles_by_type": R.approx_quantiles_by_type,

@@ -670,3 +670,152 @@ def cdc_joined_derived_stats(sf_dir: str) -> pd.DataFrame:
     if not inc.reset_index(drop=True).equals(full.reset_index(drop=True)):
         raise AssertionError("joined derived table diverged from full recompute")
     return inc[["event_type", "n_users", "total_value_c"]]
+
+
+def _embstream_fixture(sf_dir: str):
+    """Deterministic EMBEDDING change stream from the registered
+    ``embeddings`` table: every vector INSERTed (lsn order = vec_id), then a
+    deterministic subset re-embedded (UPDATE with the components rolled by
+    one — a new vector that usually lands in a DIFFERENT IVF bucket) and a
+    subset DELETEd — the workload an "index follows the table" consumer
+    must absorb. Returns ``(CdcConfig, n_events)``; segments are cached by
+    input identity + delta format."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_ray.config import CdcConfig
+    from canal_ray.loggen import LOG_SCHEMA
+    from canal_ray.sink import DELTA_FORMAT_VERSION
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{DELTA_FORMAT_VERSION}|embstream_v1".encode()
+    ).hexdigest()[:12]
+    root = f"/tmp/canal_ray_embstream_{key}"
+    log_dir = os.path.join(root, "binlog")
+
+    df = pd.read_parquet(src, columns=["vec_id", "embedding"]).sort_values("vec_id")
+    vids = df["vec_id"].to_numpy()
+    vecs = [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+
+    def emb_str(v) -> str:
+        return ",".join(str(float(x)) for x in v)
+
+    # event plan, in lsn order: all inserts, then updates (%5), then deletes (%9)
+    events: list[tuple[str, int, str | None]] = []
+    for i, vid in enumerate(vids):
+        events.append(("INSERT", int(vid), emb_str(vecs[i])))
+    for i, vid in enumerate(vids):
+        if vid % 5 == 0:
+            events.append(("UPDATE", int(vid), emb_str(np.roll(vecs[i], 1))))
+    for vid in vids:
+        if vid % 9 == 0:
+            events.append(("DELETE", int(vid), None))
+    n = len(events)
+
+    n_segments = 4
+    if not os.path.isdir(log_dir) or len(
+        [f for f in os.listdir(log_dir) if f.endswith(".parquet")]
+    ) < n_segments:
+        os.makedirs(log_dir, exist_ok=True)
+        bounds = np.linspace(0, n, n_segments + 1).astype(int)
+        for s in range(n_segments):
+            a, b = int(bounds[s]), int(bounds[s + 1])
+            seg = events[a:b]
+            lsn = np.arange(a + 1, b + 1, dtype=np.int64)
+            t = pa.table(
+                {
+                    "lsn": pa.array(lsn),
+                    "segment": pa.array(np.full(b - a, s, dtype=np.int32)),
+                    "txn_id": pa.array(lsn),
+                    "gtid": pa.nulls(b - a, type=pa.string()),
+                    "op": pa.array([op for op, _, _ in seg]),
+                    "schema_name": pa.array(["appdb"] * (b - a)),
+                    "table_name": pa.array(["embstream"] * (b - a)),
+                    "pk_repo": pa.array([str(v) for _, v, _ in seg], type=pa.string()),
+                    "pk_path": pa.array([""] * (b - a)),
+                    "cols": pa.array(
+                        [None if e is None else ["vid", "vtag", "emb"] for _, _, e in seg],
+                        type=pa.list_(pa.string()),
+                    ),
+                    "vals": pa.array(
+                        [None if e is None else [str(v), "", e] for _, v, e in seg],
+                        type=pa.list_(pa.string()),
+                    ),
+                    "ddl_sql": pa.nulls(b - a, type=pa.string()),
+                    "execute_time": pa.array(
+                        np.datetime64("2021-01-01", "ms")
+                        + lsn.astype("timedelta64[ms]")
+                    ),
+                },
+                schema=LOG_SCHEMA,
+            )
+            pq.write_table(t, os.path.join(log_dir, f"segment_{s:05d}.parquet"))
+
+    cfg = CdcConfig(
+        log_dir=log_dir, lake_dir=os.path.join(root, "lake"),
+        schema_name="appdb", table_name="embstream",
+        pk_columns=("vid", "vtag"),
+        initial_schema=(("vid", "string"), ("vtag", "string"), ("emb", "string")),
+        table_filter=r"appdb\.embstream",
+        num_partitions=8, epoch_segments=1,
+    )
+    return cfg, n
+
+
+def cdc_ann_index_follow(sf_dir: str) -> pd.DataFrame:
+    """CDC-maintained ANN index through the driver gate (the ESSyncService
+    "index follows the table" analog, fused with the persisted IVF index):
+    the embedding change stream (inserts + re-embeddings + deletes) replays
+    through the full engine into a lake; an ``IvfIndexFollower`` is brought
+    current INCREMENTALLY (staged mid-replay so both the initial-build and
+    the window-diff paths run), then probed.
+
+    Self-oracle (size-gated): the followed index's probe results must equal
+    a FRESH index built from the final lake state with the same frozen
+    centroids — add/remove/relocate bookkeeping cannot drift from truth.
+    SIGKILL-resume identity is asserted in tests/test_ann_follow.py."""
+    from canal_ray.ann_follow import IvfIndexFollower, fresh_reference_probe
+    from canal_ray.ops.ann import _load_queries
+    from canal_ray.pipeline import CdcJob
+
+    cfg, n = _embstream_fixture(sf_dir)
+    job = CdcJob(cfg)
+    follower = IvfIndexFollower(
+        cfg.lake_dir, os.path.join(cfg.lake_dir, "_annindex"), n_clusters=8
+    )
+    # staged: half the epochs -> index -> rest -> index (all fenced no-ops
+    # when the cached lake/index are already complete)
+    job.run(max_epochs=3)
+    follower.update(job)
+    job.run()
+    follower.update(job)
+
+    qids, Q = _load_queries(sf_dir, 8)
+    got = follower.probe(qids, Q, k=10, nprobe=4)
+
+    if self_oracle_enabled(n, "cdc_ann_index_follow"):
+        state = job.state_pandas()
+        want = fresh_reference_probe(
+            state, follower.centroids(), qids, Q, k=10, nprobe=4
+        )
+        same = (
+            got[["query_id", "vec_id", "rank"]].reset_index(drop=True).equals(
+                want[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+            )
+            and bool(
+                __import__("numpy").allclose(
+                    got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+                )
+            )
+        )
+        if not same:
+            raise AssertionError(
+                "followed ANN index diverged from fresh-built reference"
+            )
+    return got

@@ -492,12 +492,17 @@ def ngram_jaccard_exact_pairs(
                 )
             )
         if not out:
+            # MUST carry _pshard too: schema unification across blocks takes
+            # whichever block lands first, and the downstream groupby sort
+            # validates against it — a pair-less shard with a narrower
+            # schema is a race (observed: "no such column '_pshard'")
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"),
                  "doc_b": pd.Series([], dtype="int64"),
                  "n_a": pd.Series([], dtype="int64"),
                  "n_b": pd.Series([], dtype="int64"),
-                 "c": pd.Series([], dtype="int64")}
+                 "c": pd.Series([], dtype="int64"),
+                 "_pshard": pd.Series([], dtype="int64")}
             )
         p = pd.concat(out, ignore_index=True)
         # local partial aggregation: one row per pair per shard
@@ -546,6 +551,20 @@ def _label_components_distributed(
     n_partitions: int | None = None,
     max_rounds: int = 64,
 ) -> pd.DataFrame:
+    """DataFrame contract over :func:`_label_components_distributed_ds`
+    (the driver-window oracle shape; the lake path streams instead)."""
+    out = _label_components_distributed_ds(
+        sf_dir, pairs, n_partitions, max_rounds
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _label_components_distributed_ds(
+    sf_dir: str,
+    pairs: pd.DataFrame,
+    n_partitions: int | None = None,
+    max_rounds: int = 64,
+):
     """Corpus-scale component labeling: iterative min-label propagation,
     fully distributed — the escape hatch ``_label_components`` documents,
     implemented (used automatically above ``CANAL_CC_DRIVER_MAX`` edges).
@@ -570,13 +589,9 @@ def _label_components_distributed(
     iterative algorithm, bounded by the edge-touched node set, not the
     corpus."""
     if len(pairs) == 0:
-        out = (
-            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-            .to_pandas()
-        )
-        out["dup_of"] = out["doc_id"].astype("int64")
-        out["is_dup"] = False
-        return out.sort_values("doc_id").reset_index(drop=True)
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(_all_singletons, batch_format="pyarrow")
 
     if n_partitions is None:
         # scale the exchange width with the cluster (and the edge set) —
@@ -691,8 +706,12 @@ def _label_components_distributed(
         dup = np.where(pd.isna(lbl), d, lbl).astype(np.int64)
         return pa.table({"doc_id": d, "dup_of": dup, "is_dup": dup != d})
 
-    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _all_singletons(t: pa.Table) -> pa.Table:
+    d = t["doc_id"].to_numpy().astype(np.int64)
+    return pa.table({"doc_id": d, "dup_of": d, "is_dup": np.zeros(len(d), dtype=bool)})
 
 
 # above this many verified edges the driver union-find in
@@ -712,13 +731,21 @@ def _label_components(sf_dir: str, pairs: pd.DataFrame) -> pd.DataFrame:
     switches to :func:`_label_components_distributed` — the same contract
     with zero driver-resident state (equality asserted in
     tests/test_ops_approx.py)."""
+    out = _labeled_dataset(sf_dir, pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _labeled_dataset(sf_dir: str, pairs: pd.DataFrame):
+    """(doc_id, dup_of, is_dup) for every corpus doc as a STREAMING Dataset —
+    the shared core of the DataFrame oracle contract (:func:`_label_components`)
+    and the production lake write (:func:`dedup_labels_to_parquet`)."""
     import ray
 
     from canal_ray.ops.util import cached_get
 
     cap = int(os.environ.get("CANAL_CC_DRIVER_MAX", str(CC_DRIVER_MAX_EDGES)))
     if len(pairs) > cap:
-        return _label_components_distributed(sf_dir, pairs)
+        return _label_components_distributed_ds(sf_dir, pairs)
 
     parent: dict[int, int] = {}
 
@@ -749,12 +776,47 @@ def _label_components(sf_dir: str, pairs: pd.DataFrame) -> pd.DataFrame:
             {"doc_id": d, "dup_of": dup, "is_dup": dup != d}
         )
 
-    out = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        .map_batches(label, batch_format="pyarrow")
-        .to_pandas()
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(label, batch_format="pyarrow")
+
+
+def dedup_labels_to_parquet(
+    sf_dir: str,
+    out_dir: str,
+    method: str = "jaccard",
+    jaccard_threshold: float = 0.5,
+    n_buckets: int = 64,
+) -> str:
+    """Production output path of dedup-keep labeling: the labeled corpus is
+    WRITTEN as hash-bucketed partitioned parquet (one directory per
+    ``doc_id % n_buckets``) instead of returned as a driver DataFrame — at
+    10^10 docs the labels are data, not a result. The pipeline streams end
+    to end (pairs -> component labels -> broadcast/searchsorted labeling ->
+    write); a failed run can resume by skipping finished bucket directories.
+
+    ``method``: "jaccard" (exact all-pairs edges, the SQL-oracled variant)
+    or "minhash" (banded-LSH verified edges). The DataFrame contract of
+    :func:`jaccard_dedup_keep` / :func:`minhash_dedup_keep` is unchanged —
+    both paths share :func:`_labeled_dataset`."""
+    if method == "jaccard":
+        pairs = ngram_jaccard_exact_pairs(
+            sf_dir, k=3, jaccard_threshold=jaccard_threshold
+        )
+    elif method == "minhash":
+        pairs = minhash_lsh_dup_pairs(sf_dir, jaccard_threshold)
+    else:
+        raise ValueError(f"unknown dedup method: {method!r}")
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        b = t["doc_id"].to_numpy().astype(np.int64) % n_buckets
+        return t.append_column("bucket", pa.array(b, type=pa.int32()))
+
+    ds = _labeled_dataset(sf_dir, pairs).map_batches(
+        with_bucket, batch_format="pyarrow"
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    ds.write_parquet(out_dir, partition_cols=["bucket"])
+    return out_dir
 
 
 def minhash_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:

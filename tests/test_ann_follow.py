@@ -1,0 +1,104 @@
+"""CDC-maintained ANN index (IvfIndexFollower): follow-equals-fresh,
+incremental relocation/delete handling, and SIGKILL-resume identity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def test_follow_equals_fresh_and_is_idempotent(ray_session):
+    """The driver-gate query itself asserts followed-probe == fresh-built
+    reference on every call (inserts + re-embeddings + deletes, staged
+    mid-replay). A second call must be a fenced no-op with identical
+    results."""
+    from canal_ray.ops.cdc_smoke import cdc_ann_index_follow
+
+    out1 = cdc_ann_index_follow("/root/testdata/sf0.001")
+    assert set(out1.columns) == {"query_id", "vec_id", "rank", "score"}
+    assert out1.groupby("query_id")["rank"].max().eq(10).all()
+    # deleted vectors (vec_id % 9 == 0) must never appear in probe results
+    assert not (out1["vec_id"] % 9 == 0).any()
+    out2 = cdc_ann_index_follow("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_sigkill_mid_follow_then_resume(ray_session, tmp_path):
+    """A replay+index subprocess is SIGKILLed after the first incremental
+    window; a fresh run must resume (fenced lake epochs, deterministic
+    window rewrite, cursor-last ordering) and the followed index must equal
+    the fresh-built reference over the final state."""
+    # private copy of the embeddings table -> a fresh fixture key, so the
+    # cached lake from other tests can't make the kill land after DONE
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", sf / "embeddings.parquet")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    script = textwrap.dedent(
+        f"""
+        import sys; sys.path.insert(0, {repo!r})
+        import os
+        import ray
+        ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+        from canal_ray.ann_follow import IvfIndexFollower
+        from canal_ray.ops.cdc_smoke import _embstream_fixture
+        from canal_ray.pipeline import CdcJob
+        cfg, n = _embstream_fixture({str(sf)!r})
+        job = CdcJob(cfg)
+        f = IvfIndexFollower(cfg.lake_dir, os.path.join(cfg.lake_dir, "_annindex"), n_clusters=8)
+        job.run(max_epochs=2); f.update(job)
+        print("PHASE1", flush=True)
+        job.run(max_epochs=1); f.update(job)
+        job.run(); f.update(job)
+        print("DONE", flush=True)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        preexec_fn=os.setsid,
+    )
+    deadline = time.time() + 180
+    line = ""
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if "PHASE1" in line or not line:
+            break
+    assert "PHASE1" in line, "subprocess never reached the first index window"
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    proc.wait(timeout=30)
+
+    from canal_ray.ann_follow import IvfIndexFollower, fresh_reference_probe
+    from canal_ray.ops.ann import _load_queries
+    from canal_ray.ops.cdc_smoke import _embstream_fixture
+    from canal_ray.pipeline import CdcJob
+
+    cfg, _ = _embstream_fixture(str(sf))
+    job = CdcJob(cfg)
+    job.run()  # resume the lake
+    follower = IvfIndexFollower(
+        cfg.lake_dir, os.path.join(cfg.lake_dir, "_annindex"), n_clusters=8
+    )
+    assert follower.cursor() >= 1  # the kill really was mid-follow
+    follower.update(job)
+    assert follower.cursor() == job.store.last_complete_epoch()
+
+    qids, Q = _load_queries(str(sf), 8)
+    got = follower.probe(qids, Q, k=10, nprobe=4)
+    want = fresh_reference_probe(
+        job.state_pandas(), follower.centroids(), qids, Q, k=10, nprobe=4
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "vec_id", "rank"]], want[["query_id", "vec_id", "rank"]]
+    )
+    assert np.allclose(got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9)

@@ -441,3 +441,41 @@ def test_bm25_topk_ranking(ray_session, tmp_path):
     assert 3 not in set(out["doc_id"])                      # no-match excluded
     r = out.set_index("doc_id")["rank"]
     assert r[2] < r[0] < r[1]   # rare banana > tf-3 apple > tf-1 apple
+
+
+def test_dedup_labels_to_parquet_matches_dataframe(ray_session, tmp_path):
+    """The lake-write variant (hash-bucketed partitioned parquet) carries
+    exactly the rows of the DataFrame contract — same count, same digest —
+    plus the bucket partition column it was laid out by."""
+    import numpy as np
+    import pandas as pd
+
+    from canal_ray.ops.dedup import dedup_labels_to_parquet, jaccard_dedup_keep
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 2, "text": "alpha beta gamma delta zeta"},
+        {"doc_id": 3, "text": "something else entirely here now"},
+        {"doc_id": 67, "text": "unique text for a high doc id"},
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    sf = tmp_path / "sf"; sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+
+    want = jaccard_dedup_keep(str(sf))
+    out_dir = str(tmp_path / "labels")
+    dedup_labels_to_parquet(str(sf), out_dir, method="jaccard", n_buckets=4)
+
+    got = pd.read_parquet(out_dir)
+    assert set(got.columns) == {"doc_id", "dup_of", "is_dup", "bucket"}
+    # hive partitioning must place every row in its doc_id % 4 bucket
+    assert (got["bucket"].astype(np.int64) == got["doc_id"] % 4).all()
+    got = (
+        got[["doc_id", "dup_of", "is_dup"]]
+        .astype({"doc_id": "int64", "dup_of": "int64", "is_dup": "bool"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
