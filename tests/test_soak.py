@@ -1,0 +1,135 @@
+"""Randomized long-haul soak: random SIGKILL points x random DDL mix x
+tailing appends, N seeds — the recovery-edge-case matrix at CI scale.
+
+Each seed cycle: a fixture with a randomly drawn DDL/transaction mix is
+revealed segment-by-segment into a live directory (tail shape) while a
+subprocess replays it; the subprocess is SIGKILLed at a random point,
+resumed, killed again, and finally converged in-session. The cycle's hard
+gate is sha256 state equality vs the sequential oracle over the full log
+(state_digest), plus proof the kills really landed mid-stream.
+
+Budget: ~3 cycles in well under 5 minutes (small fixtures, 2-CPU
+subprocesses) — the CI-shaped version of a production soak.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import textwrap
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from canal_ray.config import CdcConfig
+from canal_ray.loggen import generate_fixture
+from canal_ray.oracle import replay_oracle, state_digest
+from canal_ray.pipeline import CdcJob
+
+# known-good DDL/transaction mixes (each individually covered by dedicated
+# tests; the soak exercises their product with kills and tailing)
+_MENUS = [
+    dict(),
+    dict(rename_at=0.55, drop_at=0.8),
+    dict(truncate_at=0.5),
+    dict(rename_at=0.45),
+    dict(drop_at=0.6),
+    dict(rename_at=0.35, drop_at=0.6, truncate_at=0.8),
+    dict(txn_span=True, xa_frac=0.05),
+    dict(p_partial=0.3, rename_at=0.5),
+]
+
+
+def _spawn_replay(repo: str, cfg_kwargs: dict) -> subprocess.Popen:
+    script = textwrap.dedent(
+        f"""
+        import sys; sys.path.insert(0, {repo!r})
+        import ray
+        ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+        from canal_ray.config import CdcConfig
+        from canal_ray.pipeline import CdcJob
+        cfg = CdcConfig(**{cfg_kwargs!r})
+        print("START", flush=True)
+        CdcJob(cfg).run_follow(poll_interval_s=0.2, max_idle_polls=10)
+        print("DONE", flush=True)
+        """
+    )
+    return subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        preexec_fn=os.setsid,
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_randomized_kill_ddl_tail_soak(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    menu = _MENUS[int(rng.integers(0, len(_MENUS)))]
+    src = str(tmp_path / "full")
+    generate_fixture(
+        src, n_base=800, n_events=8_000, n_segments=8,
+        seed=int(rng.integers(1, 10_000)), **menu,
+    )
+
+    # tailing-append shape: segments revealed on a random schedule
+    live = str(tmp_path / "live")
+    os.makedirs(f"{live}/binlog")
+    shutil.copytree(f"{src}/base", f"{live}/base")
+    segs = sorted(os.listdir(f"{src}/binlog"))
+    for s in segs[:2]:
+        shutil.copy(f"{src}/binlog/{s}", f"{live}/binlog/{s}")
+    delays = rng.uniform(0.2, 1.0, size=len(segs) - 2)
+
+    def feeder():
+        for s, d in zip(segs[2:], delays):
+            time.sleep(float(d))
+            shutil.copy(f"{src}/binlog/{s}", f"{live}/binlog/{s}.tmp")
+            os.replace(f"{live}/binlog/{s}.tmp", f"{live}/binlog/{s}")
+
+    t = threading.Thread(target=feeder)
+    t.start()
+
+    needs_partial = any(k in menu for k in ("rename_at", "drop_at", "p_partial"))
+    cfg_kwargs = dict(
+        log_dir=f"{live}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{live}/base/repos.parquet",
+        num_partitions=4, epoch_segments=2,
+        partial_updates=needs_partial,
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # two random SIGKILL cycles while the tail is live
+    kills_mid_stream = 0
+    for _ in range(2):
+        proc = _spawn_replay(repo, cfg_kwargs)
+        assert "START" in proc.stdout.readline()
+        time.sleep(float(rng.uniform(2.0, 7.0)))
+        ckpt = os.path.join(cfg_kwargs["lake_dir"], "_checkpoints")
+        had_progress = os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        proc.wait(timeout=30)
+        if had_progress:
+            kills_mid_stream += 1
+
+    t.join()  # every segment is now on disk
+
+    # final convergence in-session + the cycle's hard gate
+    cfg = CdcConfig(**cfg_kwargs)
+    job = CdcJob(cfg)
+    job.run()
+    oracle_df, oracle_schema = replay_oracle(src, list(cfg.initial_schema))
+    assert state_digest(job.state_pandas()) == state_digest(oracle_df)
+    assert job.final_schema() == oracle_schema
+    # non-vacuous: at least one kill landed after real progress
+    assert kills_mid_stream >= 1
+    # idempotence: a re-run over the complete log is a fenced no-op with an
+    # identical digest
+    rerun = CdcJob(cfg)
+    assert rerun.run()["epochs_processed"] == 0
+    assert state_digest(rerun.state_pandas()) == state_digest(oracle_df)
