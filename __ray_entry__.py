@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle_sql() but placed post-window — the driver's 50-row gate is
         # full; DuckDB parity asserted in tests/test_ops_parity.py
         "user_sliding_window_stats": R.user_sliding_window_stats,
+        # production lake-write of dedup-keep labels (hash-bucketed
+        # partitioned parquet; written rows asserted equal to the DataFrame
+        # contract in-process, size-gated)
+        "doc_dedup_labels_lake": D.dedup_labels_lake_summary,
         # --- probabilistic dedup (recall asserted in pytest) -------------
         "doc_minhash_dup_pairs": D.minhash_lsh_dup_pairs,
         "doc_minhash_dedup_keep": D.minhash_dedup_keep,

@@ -274,14 +274,21 @@ class IvfIndexFollower:
                 ],
                 ignore_index=True,
             ).sort_values(["is_remove", "vec_key", "lsn"]).reset_index(drop=True)
+            # vectorized list<float64> build: one flat values buffer + offsets
+            lens = np.fromiter((len(e) for e in rows["emb"]), dtype=np.int64, count=len(rows))
+            flat = (
+                np.concatenate([np.asarray(e, dtype=np.float64) for e in rows["emb"]])
+                if lens.sum()
+                else np.zeros(0)
+            )
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
             t = pa.table(
                 {
                     "vec_key": pa.array(rows["vec_key"], type=pa.string()),
                     "lsn": pa.array(rows["lsn"].astype("int64")),
                     "is_remove": pa.array(rows["is_remove"].astype(bool)),
-                    "emb": pa.array(
-                        [list(map(float, e)) for e in rows["emb"]],
-                        type=pa.list_(pa.float64()),
+                    "emb": pa.ListArray.from_arrays(
+                        pa.array(offsets), pa.array(flat, type=pa.float64())
                     ),
                 }
             )

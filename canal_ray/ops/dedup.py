@@ -997,3 +997,46 @@ def jaccard_dedup_keep(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFr
     driver collect)."""
     pairs = ngram_jaccard_exact_pairs(sf_dir, k=3, jaccard_threshold=jaccard_threshold)
     return _label_components(sf_dir, pairs)
+
+
+def dedup_labels_lake_summary(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
+    """queries() entry for the PRODUCTION output path of dedup-keep: the
+    labeled corpus is written as hash-bucketed partitioned parquet
+    (:func:`dedup_labels_to_parquet`), read back, and summarized per bucket
+    (doc count, dup count). Self-oracled (size-gated): the written rows must
+    equal the DataFrame contract of :func:`jaccard_dedup_keep` exactly."""
+    import hashlib
+    import shutil
+
+    from canal_ray.ops.util import parquet_num_rows, self_oracle_enabled
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/canal_ray_labels_{key}"
+    # write_parquet APPENDS into an existing directory; the lake path is
+    # rewritten fresh per call so a re-invocation cannot double the rows
+    shutil.rmtree(out_dir, ignore_errors=True)
+    dedup_labels_to_parquet(sf_dir, out_dir, method="jaccard", n_buckets=n_buckets)
+
+    got = pd.read_parquet(out_dir)
+    got["bucket"] = got["bucket"].astype("int64")
+    if self_oracle_enabled(
+        parquet_num_rows(f"{sf_dir}/documents.parquet"), "dedup_labels_lake_summary"
+    ):
+        want = jaccard_dedup_keep(sf_dir)
+        lake_rows = (
+            got[["doc_id", "dup_of", "is_dup"]]
+            .astype({"doc_id": "int64", "dup_of": "int64", "is_dup": "bool"})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        if not lake_rows.equals(want) or not (got["bucket"] == got["doc_id"] % n_buckets).all():
+            raise AssertionError("lake-written labels diverged from the DataFrame contract")
+
+    out = got.groupby("bucket", as_index=False).agg(
+        n_docs=("doc_id", "size"), n_dups=("is_dup", "sum")
+    )
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)

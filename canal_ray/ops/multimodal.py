@@ -285,7 +285,11 @@ class ImageFeatures:
 
 
 class Thumbnailer:
-    """Actor-pool resize stage (stride subsampling as the stub 'resize')."""
+    """Actor-pool resize stage (stride subsampling as the 'resize' kernel).
+
+    3-channel thumbnails are emitted as REAL binary PPM (any standard tool
+    can open the output column); other channel counts fall back to the
+    FAKEIMG container."""
 
     def __init__(self, out_size: int = 8):
         self.out = out_size
@@ -298,9 +302,14 @@ class Thumbnailer:
             w, h, c, px = decode_image(payload)
             ys = np.linspace(0, h - 1, self.out).astype(int)
             xs = np.linspace(0, w - 1, self.out).astype(int)
-            thumb = px[np.ix_(ys, xs)].tobytes()
+            thumb = px[np.ix_(ys, xs)]
             ids.append(media_id)
-            thumbs.append(_HEADER.pack(_MAGIC, self.out, self.out, c) + thumb)
+            if c == 3:
+                thumbs.append(encode_ppm(thumb))
+            else:
+                thumbs.append(
+                    _HEADER.pack(_MAGIC, self.out, self.out, c) + thumb.tobytes()
+                )
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),

@@ -56,12 +56,16 @@ def test_feature_pipeline(ray_session, media):
 
 
 def test_thumbnail_pipeline(ray_session, media, tmp_path):
+    from canal_ray.ops.multimodal import decode_image
+
     out = thumbnail_pipeline(media, str(tmp_path / "thumbs"))
     files = glob.glob(f"{out}/*.parquet")
     assert files
     t = pq.read_table(files[0])
     assert t.column_names == ["media_id", "thumbnail"]
-    w, h, c, px = decode_fake_image(t["thumbnail"][0].as_py())
+    payload = t["thumbnail"][0].as_py()
+    assert payload[:2] == b"P6"  # 3-channel thumbnails are REAL binary PPM
+    w, h, c, px = decode_image(payload)
     assert (w, h) == (8, 8) and px.shape == (8, 8, c)
 
 
