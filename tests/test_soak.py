@@ -133,3 +133,59 @@ def test_randomized_kill_ddl_tail_soak(ray_session, tmp_path, seed):
     rerun = CdcJob(cfg)
     assert rerun.run()["epochs_processed"] == 0
     assert state_digest(rerun.state_pandas()) == state_digest(oracle_df)
+
+
+def test_sigkill_mid_compact_recovers(ray_session, tmp_path):
+    """Compaction's crash-safety contract (atomic base replace BEFORE delta
+    unlink; idempotent re-merge): a SIGKILL mid-compact must leave a lake
+    that (a) still serves the exact oracle state half-compacted, and
+    (b) compacts to completion on retry with the digest unchanged."""
+    src = str(tmp_path / "fix")
+    generate_fixture(src, n_base=2_000, n_events=20_000, n_segments=4, seed=44)
+    cfg_kwargs = dict(
+        log_dir=f"{src}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{src}/base/repos.parquet",
+        num_partitions=16, epoch_segments=2,
+    )
+    cfg = CdcConfig(**cfg_kwargs)
+    job = CdcJob(cfg)
+    job.run()
+    oracle_df, _ = replay_oracle(src, list(cfg.initial_schema))
+    want = state_digest(oracle_df)
+    assert state_digest(job.state_pandas()) == want
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        f"""
+        import sys; sys.path.insert(0, {repo!r})
+        import ray
+        ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+        from canal_ray.config import CdcConfig
+        from canal_ray.pipeline import CdcJob
+        print("START", flush=True)
+        CdcJob(CdcConfig(**{cfg_kwargs!r})).compact()
+        print("DONE", flush=True)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        preexec_fn=os.setsid,
+    )
+    assert "START" in proc.stdout.readline()
+    time.sleep(0.8)  # races the compactor tasks: some partitions fold first
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    proc.wait(timeout=30)
+
+    # (a) the half-compacted lake still reads back the exact oracle state
+    job2 = CdcJob(CdcConfig(**cfg_kwargs))
+    assert state_digest(job2.state_pandas()) == want
+    # (b) retrying compaction converges: every delta folded, digest stable
+    stats = job2.compact()
+    assert len(stats) == 16
+    for d in os.listdir(cfg_kwargs["lake_dir"]):
+        pdir = os.path.join(cfg_kwargs["lake_dir"], d)
+        if d.startswith("p") and os.path.isdir(pdir):
+            assert not [n for n in os.listdir(pdir) if n.startswith("delta_e")]
+    assert state_digest(job2.state_pandas()) == want
