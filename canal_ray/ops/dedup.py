@@ -1020,11 +1020,28 @@ def dedup_labels_lake_summary(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     dedup_labels_to_parquet(sf_dir, out_dir, method="jaccard", n_buckets=n_buckets)
 
-    got = pd.read_parquet(out_dir)
-    got["bucket"] = got["bucket"].astype("int64")
+    # summary is DISTRIBUTED (per-batch partial groupby -> tiny driver
+    # fold): the labeled corpus never lands on the driver on the scale path
+    def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("bucket", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_dups=("is_dup", "sum")
+        )
+
+    parts = (
+        rd.read_parquet(out_dir)
+        .map_batches(bucket_partial, batch_format="pandas")
+        .to_pandas()  # bounded: n_blocks x n_buckets rows
+    )
+    out = parts.groupby("bucket", as_index=False)[["n_docs", "n_dups"]].sum()
+    out["bucket"] = out["bucket"].astype("int64")
+    out[["n_docs", "n_dups"]] = out[["n_docs", "n_dups"]].astype("int64")
+    out = out.sort_values("bucket").reset_index(drop=True)
+
     if self_oracle_enabled(
         parquet_num_rows(f"{sf_dir}/documents.parquet"), "dedup_labels_lake_summary"
     ):
+        got = pd.read_parquet(out_dir)  # fixture-scale verification read
+        got["bucket"] = got["bucket"].astype("int64")
         want = jaccard_dedup_keep(sf_dir)
         lake_rows = (
             got[["doc_id", "dup_of", "is_dup"]]
@@ -1034,9 +1051,4 @@ def dedup_labels_lake_summary(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
         )
         if not lake_rows.equals(want) or not (got["bucket"] == got["doc_id"] % n_buckets).all():
             raise AssertionError("lake-written labels diverged from the DataFrame contract")
-
-    out = got.groupby("bucket", as_index=False).agg(
-        n_docs=("doc_id", "size"), n_dups=("is_dup", "sum")
-    )
-    out["n_dups"] = out["n_dups"].astype("int64")
-    return out.sort_values("bucket").reset_index(drop=True)
+    return out
