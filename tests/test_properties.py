@@ -140,3 +140,86 @@ def test_per_key_lsn_is_max_surviving(ray_session, prop_fixture, tmp_path):
     assert (touched["_lsn"] == touched["lsn"]).all()
     untouched = merged[merged["lsn"].isna()]
     assert (untouched["_lsn"] == 0).all()  # pristine base rows keep lsn 0
+
+
+# ---------------------------------------------------------------- r5 codecs
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=17),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_bmp_roundtrip_property(w, h, seed):
+    """encode->decode is the identity for every image shape (BMP row padding
+    covers every width mod 4; PPM is offset-exact)."""
+    import numpy as np
+
+    from canal_ray.ops.multimodal import decode_bmp, decode_ppm, encode_bmp, encode_ppm
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for enc, dec in ((encode_ppm, decode_ppm), (encode_bmp, decode_bmp)):
+        ww, hh, c, out = dec(enc(px))
+        assert (ww, hh, c) == (w, h, 3)
+        assert (out == px).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2_000),
+    sr=st.sampled_from([8_000, 16_000, 22_050, 44_100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_property(n, sr, seed):
+    import numpy as np
+
+    from canal_ray.ops.multimodal import decode_wav, encode_wav
+
+    x = np.random.default_rng(seed).integers(-32768, 32768, size=n).astype(np.int16)
+    sr2, y = decode_wav(encode_wav(x, sr))
+    assert sr2 == sr and (y == x).all()
+
+
+@given(
+    days=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_sliding_window_matches_bruteforce(ray_session, tmp_path_factory, days, seed):
+    """user_sliding_window_stats equals a per-user brute-force trailing-window
+    recount for random (possibly pre-epoch) day sets — the packed-key
+    searchsorted slide can never cross users or miscount a window."""
+    import numpy as np
+    import pandas as pd
+
+    from canal_ray.ops.relational import user_sliding_window_stats
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for uid in range(1, int(rng.integers(2, 5)) + 1):
+        daynos = rng.choice(np.arange(-12, 30), size=int(rng.integers(1, 10)), replace=False)
+        for d in daynos:
+            for _ in range(int(rng.integers(1, 3))):
+                rows.append(
+                    {
+                        "user_id": uid,
+                        "ts": pd.Timestamp("1970-01-01")
+                        + pd.Timedelta(days=int(d), hours=int(rng.integers(0, 24))),
+                        "value": float(rng.integers(0, 100)) / 10.0,
+                    }
+                )
+    df = pd.DataFrame(rows)
+    d = tmp_path_factory.mktemp("slidewin")
+    df.to_parquet(d / "events.parquet", index=False)
+
+    got = user_sliding_window_stats(str(d), days=days)
+
+    # brute force: for every (user, active day), recount the trailing window
+    df["day"] = df["ts"].dt.floor("D")
+    df["value_c"] = np.round(df["value"] * 10_000).astype(np.int64)
+    for _, r in got.iterrows():
+        lo = r["day"] - pd.Timedelta(days=days - 1)
+        m = (df["user_id"] == r["user_id"]) & (df["day"] >= lo) & (df["day"] <= r["day"])
+        assert int(r["n_7d"]) == int(m.sum())
+        assert int(r["total_value_c_7d"]) == int(df.loc[m, "value_c"].sum())
+    # every (user, active day) pair is present
+    assert len(got) == len(df[["user_id", "day"]].drop_duplicates())
