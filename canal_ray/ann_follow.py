@@ -52,7 +52,13 @@ import ray
 
 from canal_ray.checkpoint import atomic_write_json, read_json
 from canal_ray.ddl import TableSchema
-from canal_ray.sink import META_LSN, _atomic_write_parquet, lake_partition_dirs, merge_partition
+from canal_ray.sink import (
+    META_LSN,
+    _atomic_write_parquet,
+    compacted_through,
+    lake_partition_dirs,
+    merge_partition,
+)
 
 
 def parse_embeddings(strings: pd.Series) -> np.ndarray:
@@ -237,6 +243,18 @@ class IvfIndexFollower:
         cur = self.cursor()
         if now <= cur:
             return {"cursor": cur, "epochs_indexed": 0}
+        # COMPACTION GUARD: the window diff needs the deltas in
+        # (cursor, now]; once compaction folds them into base, the old
+        # versions' buckets (remove targets) are unrecoverable — fail
+        # loudly instead of silently dropping relocations/deletes. A fresh
+        # follower (cursor < 0) is unaffected: the initial build reads the
+        # merged state, compacted or not.
+        if cur >= 0 and compacted_through(self.lake_dir) > cur:
+            raise RuntimeError(
+                "lake was compacted past the index cursor; the deltas "
+                "defining the incremental diff are folded away — rebuild "
+                "the index into a fresh index_dir"
+            )
         C = self._ensure_centroids(job, now)
         schema_json = job.final_schema().to_json()
         pk = job.cfg.pk_columns

@@ -41,6 +41,7 @@ from canal_ray.ddl import TableSchema
 from canal_ray.sink import (
     META_LSN,
     _atomic_write_parquet,
+    compacted_through,
     lake_partition_dirs,
     merge_partition,
 )
@@ -216,6 +217,21 @@ class DerivedTable:
             return self.read()
         schema_json = job.final_schema().to_json()
         pk = job.cfg.pk_columns
+        # COMPACTION GUARD: if compaction folded epochs past this table's
+        # cursor, the deltas that define the incremental diff are gone — a
+        # partition diff would silently MISS those changes (for a fresh
+        # table, it would return empty over a non-empty compacted lake).
+        # Fall back to the bounded full refresh, same as the DDL guard.
+        if compacted_through(self.lake_dir) > cur:
+            import pyarrow as pa
+
+            folded = self.recompute(job, up_to_epoch=now)
+            _atomic_write_parquet(
+                pa.Table.from_pandas(folded, preserve_index=False),
+                self._table_path(now),
+            )
+            atomic_write_json(self._cursor_path, {"epoch": now})
+            return folded
         # DDL guard: if a spec column's resolution CHANGED between the cursor
         # and now (dropped, or renamed such that it binds differently), the
         # contributions already folded into the base were computed under the

@@ -798,6 +798,23 @@ def lake_partition_dirs(lake_dir: str) -> list[str]:
     )
 
 
+def compacted_through(lake_dir: str) -> int:
+    """Max compaction watermark across partitions (-1 if never compacted).
+
+    Incremental consumers (derived tables, the ANN index follower) compare
+    this with their cursor: a watermark PAST the cursor means the deltas
+    that define "changes since the cursor" were folded into base and a
+    partition diff would silently miss them."""
+    from canal_ray.checkpoint import read_json
+
+    hi = -1
+    for d in lake_partition_dirs(lake_dir):
+        m = read_json(os.path.join(d, "compacted_through.json"))
+        if m:
+            hi = max(hi, int(m["epoch"]))
+    return hi
+
+
 def merge_partition(
     part_dir: str,
     schema: TableSchema,
@@ -979,6 +996,8 @@ class LakeCompactor:
         self.pk = pk
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from canal_ray.checkpoint import atomic_write_json, read_json
+
         rows = []
         for part_dir in batch["part_dir"].to_pylist():
             # snapshot the delta list BEFORE merging and unlink exactly those
@@ -991,6 +1010,20 @@ class LakeCompactor:
             ]
             live = merge_partition(part_dir, self.schema, self.pk)
             _atomic_write_parquet(live, os.path.join(part_dir, "base.parquet"))
+            # compaction WATERMARK (written before the unlinks: a crash
+            # between marker and unlink over-claims, which is the safe
+            # direction — consumers fall back to recompute/rebuild): the
+            # max epoch folded into base. Incremental consumers
+            # (DerivedTable, IvfIndexFollower) whose cursor is older than
+            # this can no longer diff — the deltas defining "as of the
+            # cursor" are gone — and must detect it instead of silently
+            # missing changes.
+            if folded:
+                hi = max(int(n[7:-8]) for n in folded)
+                marker_path = os.path.join(part_dir, "compacted_through.json")
+                prev = read_json(marker_path)
+                prev_hi = int(prev["epoch"]) if prev else -1
+                atomic_write_json(marker_path, {"epoch": max(hi, prev_hi)})
             for name in folded:
                 os.unlink(os.path.join(part_dir, name))
             rows.append({"part_dir": part_dir, "rows": live.num_rows, "deltas_folded": len(folded)})

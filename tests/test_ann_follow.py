@@ -102,3 +102,40 @@ def test_sigkill_mid_follow_then_resume(ray_session, tmp_path):
         got[["query_id", "vec_id", "rank"]], want[["query_id", "vec_id", "rank"]]
     )
     assert np.allclose(got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9)
+
+
+def test_compaction_past_cursor_raises(ray_session, tmp_path):
+    """r5 compaction guard: folding deltas past the follower's cursor makes
+    the window diff impossible (old-version buckets unrecoverable) — update
+    must raise, never silently drop relocations/deletes. A FRESH follower
+    over the compacted lake still initial-builds correctly."""
+    import pytest
+
+    from canal_ray.ann_follow import IvfIndexFollower, fresh_reference_probe
+    from canal_ray.ops.ann import _load_queries
+    from canal_ray.ops.cdc_smoke import _embstream_fixture
+    from canal_ray.pipeline import CdcJob
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", sf / "embeddings.parquet")
+
+    cfg, _ = _embstream_fixture(str(sf))
+    job = CdcJob(cfg)
+    f = IvfIndexFollower(cfg.lake_dir, os.path.join(cfg.lake_dir, "_annindex"), n_clusters=8)
+    job.run(max_epochs=2)
+    f.update(job)             # cursor at the first window
+    job.run()                 # rest of the stream
+    job.compact()             # folds epochs PAST the follower's cursor
+    with pytest.raises(RuntimeError, match="compacted past the index cursor"):
+        f.update(job)
+
+    # a fresh follower over the compacted lake builds from the merged state
+    f2 = IvfIndexFollower(cfg.lake_dir, os.path.join(cfg.lake_dir, "_annindex2"), n_clusters=8)
+    f2.update(job)
+    qids, Q = _load_queries(str(sf), 8)
+    got = f2.probe(qids, Q, k=10, nprobe=4)
+    want = fresh_reference_probe(job.state_pandas(), f2.centroids(), qids, Q, k=10, nprobe=4)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "vec_id", "rank"]], want[["query_id", "vec_id", "rank"]]
+    )

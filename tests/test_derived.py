@@ -108,3 +108,44 @@ def test_drop_of_agg_column_mid_span_falls_back_to_recompute(ray_session, tmp_pa
     inc2 = dt.update(job)
     _assert_same(inc2, dt.recompute(job))
     assert inc2["commit_chars"].sum() == 0  # dropped column contributes 0
+
+
+def test_compaction_watermark_forces_refresh(ray_session, tmp_path):
+    """r5 compaction guard: compacting BEFORE a derived table is brought
+    current folds away the deltas its diff needs — update() must detect the
+    watermark and fall back to a full refresh instead of silently returning
+    an empty/stale table."""
+    d = str(tmp_path / "fix")
+    generate_fixture(d, n_base=400, n_events=5_000, n_segments=4, seed=63)
+    cfg = CdcConfig(
+        log_dir=f"{d}/binlog", lake_dir=str(tmp_path / "lake"),
+        base_table=f"{d}/base/repos.parquet", num_partitions=4,
+        epoch_segments=2,
+    )
+    job = CdcJob(cfg)
+    job.run()
+    job.compact()  # every delta folded before the FIRST derived update
+
+    dt = DerivedTable(cfg.lake_dir, "lang_stats", "lang", AGGS)
+    inc = dt.update(job)
+    full = dt.recompute(job)
+    assert len(inc) > 0  # a diff-only update would have returned EMPTY here
+    _assert_same(inc, full)
+
+    # stale-cursor shape: another table updated mid-stream, then compaction
+    # races ahead of it
+    d2 = str(tmp_path / "fix2")
+    generate_fixture(d2, n_base=400, n_events=5_000, n_segments=4, seed=64)
+    cfg2 = CdcConfig(
+        log_dir=f"{d2}/binlog", lake_dir=str(tmp_path / "lake2"),
+        base_table=f"{d2}/base/repos.parquet", num_partitions=4,
+        epoch_segments=2,
+    )
+    job2 = CdcJob(cfg2)
+    job2.run(max_epochs=2)
+    dt2 = DerivedTable(cfg2.lake_dir, "lang_stats", "lang", AGGS)
+    dt2.update(job2)          # cursor at epoch ~1
+    job2.run()                # rest of the stream
+    job2.compact()            # folds epochs PAST dt2's cursor
+    inc2 = dt2.update(job2)   # watermark > cursor -> full refresh
+    _assert_same(inc2, dt2.recompute(job2))
