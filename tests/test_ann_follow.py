@@ -139,3 +139,50 @@ def test_compaction_past_cursor_raises(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[["query_id", "vec_id", "rank"]], want[["query_id", "vec_id", "rank"]]
     )
+
+
+def test_index_follows_the_tail_continuously(ray_session, tmp_path):
+    """The continuous pipeline the module exists for: segments arrive one at
+    a time (tail shape), the lake consumes each, the follower indexes each
+    window — and after EVERY cycle the followed index's probe results equal
+    a fresh-built reference over the current state."""
+    import dataclasses
+
+    from canal_ray.ann_follow import IvfIndexFollower, fresh_reference_probe
+    from canal_ray.ops.ann import _load_queries
+    from canal_ray.ops.cdc_smoke import _embstream_fixture
+    from canal_ray.pipeline import CdcJob
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", sf / "embeddings.parquet")
+    base_cfg, _ = _embstream_fixture(str(sf))
+
+    live = tmp_path / "live_binlog"
+    live.mkdir()
+    cfg = dataclasses.replace(
+        base_cfg, log_dir=str(live), lake_dir=str(tmp_path / "live_lake")
+    )
+    follower = IvfIndexFollower(
+        cfg.lake_dir, os.path.join(cfg.lake_dir, "_annindex"), n_clusters=8
+    )
+    qids, Q = _load_queries(str(sf), 8)
+
+    segs = sorted(os.listdir(base_cfg.log_dir))
+    assert len(segs) == 4
+    checked = 0
+    for s in segs:
+        shutil.copy(os.path.join(base_cfg.log_dir, s), live / s)
+        job = CdcJob(cfg)
+        job.run()               # consume the newly arrived segment
+        follower.update(job)    # index follows
+        state = job.state_pandas()
+        if state.empty:
+            continue
+        got = follower.probe(qids, Q, k=10, nprobe=4)
+        want = fresh_reference_probe(state, follower.centroids(), qids, Q, k=10, nprobe=4)
+        pd.testing.assert_frame_equal(
+            got[["query_id", "vec_id", "rank"]], want[["query_id", "vec_id", "rank"]]
+        )
+        checked += 1
+    assert checked >= 3  # the equality gate really ran per cycle
