@@ -104,15 +104,26 @@ def test_randomized_kill_ddl_tail_soak(ray_session, tmp_path, seed):
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    # two random SIGKILL cycles while the tail is live
+    # two random SIGKILL cycles while the tail is live. The kill point is
+    # random EXTRA delay on top of a deterministic progress gate (wait for
+    # checkpoints to exist), so a kill always lands after real progress —
+    # timing luck can vary the cut point but never make the test vacuous.
     kills_mid_stream = 0
+    ckpt = os.path.join(cfg_kwargs["lake_dir"], "_checkpoints")
     for _ in range(2):
         proc = _spawn_replay(repo, cfg_kwargs)
         assert "START" in proc.stdout.readline()
-        time.sleep(float(rng.uniform(2.0, 7.0)))
-        ckpt = os.path.join(cfg_kwargs["lake_dir"], "_checkpoints")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0:
+                break
+            time.sleep(0.2)
+        time.sleep(float(rng.uniform(0.0, 4.0)))  # random cut point
         had_progress = os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
-        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass  # replay finished before the cut — still a valid cycle
         proc.wait(timeout=30)
         if had_progress:
             kills_mid_stream += 1
