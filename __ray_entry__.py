@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle_sql() but placed post-window — the driver's 50-row gate is
         # full; DuckDB parity asserted in tests/test_ops_parity.py
         "user_sliding_window_stats": R.user_sliding_window_stats,
+        # SUBSTRING-level dedup (ExactSubstr shape, Lee et al. 2022):
+        # per-doc duplicated-span token coverage via window fingerprints;
+        # sequential dict-recompute oracle in-process (size-gated)
+        "doc_dup_span_stats": D.dup_span_token_stats,
         # production lake-write of dedup-keep labels (hash-bucketed
         # partitioned parquet; written rows asserted equal to the DataFrame
         # contract in-process, size-gated)

@@ -1052,3 +1052,139 @@ def dedup_labels_lake_summary(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
         if not lake_rows.equals(want) or not (got["bucket"] == got["doc_id"] % n_buckets).all():
             raise AssertionError("lake-written labels diverged from the DataFrame contract")
     return out
+
+
+def dup_span_token_stats(
+    sf_dir: str, k: int = 8, max_df: int = 256, n_shards: int = 64
+) -> pd.DataFrame:
+    """SUBSTRING-level dedup statistics (the ExactSubstr shape of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    public algorithm — window-fingerprint variant): for every document, how
+    many of its tokens sit inside a ``k``-token window whose exact token
+    sequence occurs MORE THAN ONCE anywhere in the corpus. Doc-level dedup
+    (exact/MinHash/Jaccard above) misses boilerplate repeated INSIDE
+    otherwise-unique documents; this is the operator that finds it.
+
+    Scale shape (same two bounded exchanges as the exact-Jaccard plan):
+      1. map_batches: per doc, vectorized rolling polynomial hash of every
+         k-token window (one ``_roll`` pass over pre-hashed tokens) ->
+         (window_hash, doc_id, pos) rows, sharded BY window hash;
+      2. groupby(hash-shard): within a shard the bucket size of one hash IS
+         its global occurrence count — keep positions of hashes seen 2..
+         ``max_df`` times (the df cap bounds the hot-boilerplate blowup the
+         same way exact-Jaccard caps hot shingles — capped windows are
+         DROPPED from the duplicated set, never partially counted);
+      3. groupby(doc-shard): per doc, coverage = union of [pos, pos+k)
+         via one vectorized cummax pass over sorted window starts.
+
+    Output: (doc_id, n_tokens, n_dup_tokens, dup_ratio). Self-oracled
+    in-process (size-gated): a sequential dict recompute over the corpus
+    must match every row exactly."""
+    from canal_ray.ops.util import parquet_num_rows, self_oracle_enabled
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _tok_window_hashes(text: str) -> tuple[int, np.ndarray]:
+        toks = text.split() if isinstance(text, str) else []
+        if len(toks) < k:
+            return len(toks), np.zeros(0, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            hw = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+            return len(toks), _roll(hw, k)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        per_doc = [_tok_window_hashes(t) for t in b["text"].tolist()]
+        n_tok = np.array([n for n, _ in per_doc], dtype=np.int64)
+        lens = np.array([len(w) for _, w in per_doc], dtype=np.int64)
+        doc = b["doc_id"].to_numpy().astype(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"wh": pd.Series([], dtype="uint64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "pos": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "_shard": pd.Series([], dtype="int64")}
+            )
+        wh = np.concatenate([w for _, w in per_doc if len(w)])
+        return pd.DataFrame(
+            {
+                "wh": wh,
+                "doc_id": np.repeat(doc, lens),
+                "pos": np.concatenate([np.arange(n, dtype=np.int64) for n in lens if n]),
+                "n_tokens": np.repeat(n_tok, lens),
+                "_shard": (wh % np.uint64(n_shards)).astype(np.int64),
+            }
+        )
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket size within one hash-shard == the hash's GLOBAL df
+        df_per_hash = g.groupby("wh")["wh"].transform("size")
+        keep = (df_per_hash >= 2) & (df_per_hash <= max_df)
+        out = g.loc[keep, ["doc_id", "pos", "n_tokens"]].copy()
+        out["_dshard"] = (
+            pd.util.hash_array(out["doc_id"].to_numpy()) % n_shards
+        ).astype("int64")
+        return out
+
+    dup = rows.groupby("_shard").map_groups(dup_positions, batch_format="pandas")
+
+    def per_doc_coverage(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        new_doc = np.concatenate([[True], doc[1:] != doc[:-1]])
+        # union of [pos, pos+k) intervals per doc in one pass: each window
+        # contributes k tokens minus its overlap with the previous window
+        prev_end = np.concatenate([[0], pos[:-1] + k])
+        prev_end[new_doc] = 0
+        covered = np.minimum(k, np.maximum(pos + k - np.maximum(prev_end, pos), 0))
+        covered = np.where(new_doc, k, covered)
+        out = pd.DataFrame({"doc_id": doc, "covered": covered})
+        agg = out.groupby("doc_id", as_index=False)["covered"].sum()
+        n_tok = g.drop_duplicates("doc_id").set_index("doc_id")["n_tokens"]
+        agg["n_tokens"] = agg["doc_id"].map(n_tok).astype("int64")
+        return agg.rename(columns={"covered": "n_dup_tokens"})
+
+    cov = dup.groupby("_dshard").map_groups(per_doc_coverage, batch_format="pandas").to_pandas()
+
+    corpus = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.strip().str.split().str.len().fillna(0).astype("int64")
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "n_tokens": n})
+
+    allc = corpus.map_batches(tok_counts, batch_format="pandas").to_pandas()
+    out = allc.merge(
+        cov[["doc_id", "n_dup_tokens"]], on="doc_id", how="left"
+    ).fillna({"n_dup_tokens": 0})
+    out["n_dup_tokens"] = out["n_dup_tokens"].astype("int64")
+    out["dup_ratio"] = np.round(
+        out["n_dup_tokens"] / np.maximum(out["n_tokens"], 1), 6
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    # ---- sequential oracle (exact recompute, size-gated) -------------------
+    if self_oracle_enabled(
+        parquet_num_rows(f"{sf_dir}/documents.parquet"), "dup_span_token_stats"
+    ):
+        seq = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        counts: dict = {}
+        per_doc_wh: dict = {}
+        for did, text in zip(seq["doc_id"], seq["text"]):
+            n, wh = _tok_window_hashes(text)
+            per_doc_wh[int(did)] = (n, wh)
+            for h in wh:
+                counts[int(h)] = counts.get(int(h), 0) + 1
+        for _, r in out.iterrows():
+            n, wh = per_doc_wh[int(r["doc_id"])]
+            covered = np.zeros(n, dtype=bool)
+            for p, h in enumerate(wh):
+                if 2 <= counts[int(h)] <= max_df:
+                    covered[p : p + k] = True
+            if int(covered.sum()) != int(r["n_dup_tokens"]) or n != int(r["n_tokens"]):
+                raise AssertionError(
+                    f"dup-span coverage diverged for doc {int(r['doc_id'])}"
+                )
+    return out

@@ -479,3 +479,49 @@ def test_dedup_labels_to_parquet_matches_dataframe(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dup_span_token_stats_planted(ray_session, tmp_path):
+    """Substring-level dedup: a k-token boilerplate span repeated across
+    otherwise-unique docs is flagged token-exactly; unique docs score 0.
+    The op also asserts its sequential dict recompute in-process."""
+    from canal_ray.ops.dedup import dup_span_token_stats
+
+    boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        {"doc_id": 0, "text": boiler + " alpha beta gamma delta"},
+        {"doc_id": 1, "text": "one two three " + boiler},
+        {"doc_id": 2, "text": "entirely unique words here nothing repeats at all today"},
+        {"doc_id": 3, "text": "short doc"},  # fewer than k tokens
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = dup_span_token_stats(str(tmp_path), k=9).set_index("doc_id")
+    # the 9-token boilerplate is the only duplicated window
+    assert int(out.loc[0, "n_dup_tokens"]) == 9
+    assert int(out.loc[1, "n_dup_tokens"]) == 9
+    assert int(out.loc[2, "n_dup_tokens"]) == 0
+    assert int(out.loc[3, "n_dup_tokens"]) == 0 and int(out.loc[3, "n_tokens"]) == 2
+    assert abs(out.loc[1, "dup_ratio"] - 9 / 12) < 1e-9
+
+
+def test_dup_span_overlapping_windows_union(ray_session, tmp_path):
+    """Overlapping duplicated windows must be UNION-counted, not summed:
+    two docs sharing a 10-token run with k=8 have 3 duplicated windows but
+    exactly 10 duplicated tokens each."""
+    from canal_ray.ops.dedup import dup_span_token_stats
+
+    run = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        {"doc_id": 0, "text": run + " tail0 only0"},
+        {"doc_id": 1, "text": "head1 just1 " + run},
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = dup_span_token_stats(str(tmp_path), k=8).set_index("doc_id")
+    assert int(out.loc[0, "n_dup_tokens"]) == 10
+    assert int(out.loc[1, "n_dup_tokens"]) == 10
