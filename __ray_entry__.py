@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries heavy-hitters sketch (bounded exchange, self-reported
         # error bound; exact-top-5-subset + bound asserted in-process)
         "doc_top_bigrams_sketch": T.top_bigrams_sketch,
+        # within-doc repetition signals (Gopher filters: duplicate 2/3-gram
+        # fractions + top-token share; Counter recompute oracle in-process)
+        "doc_repetition_stats": T.repetition_stats,
         # --- multimodal plumbing (image/audio/video frame-sample; fake
         # codecs, real Ray actor-pool stages; in-process spot-decode asserts)
         "multimodal_media_features": M.multimodal_media_features,

@@ -935,3 +935,76 @@ def bm25_topk(
         ):
             raise AssertionError("distributed BM25 diverged from sequential recompute")
     return top
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters,
+    Rae et al. 2021 — public recipe): per document, the fraction of 2-gram
+    and 3-gram occurrences that are duplicates of an earlier occurrence,
+    and the frequency share of the single most common token. High values
+    flag the degenerate looping/boilerplate text every curation pipeline
+    drops BEFORE training.
+
+    Pure per-batch map (no shuffle): token hashes once per doc, n-gram
+    hashes via the shared vectorized rolling combine (``dedup._roll``),
+    duplicate fractions from ``np.unique`` counts. In-process oracle
+    (size-gated): a sequential Counter recompute must match every row."""
+    from canal_ray.ops.dedup import _roll
+    from canal_ray.ops.util import parquet_num_rows, self_oracle_enabled
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _doc_stats(text: str) -> tuple[float, float, float]:
+        toks = text.split() if isinstance(text, str) else []
+        if not toks:
+            return 0.0, 0.0, 0.0
+        with np.errstate(over="ignore"):
+            hw = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+            _, tok_counts = np.unique(hw, return_counts=True)
+            top_tok = float(tok_counts.max()) / len(toks)
+            fracs = []
+            for n in (2, 3):
+                if len(toks) < n:
+                    fracs.append(0.0)
+                    continue
+                grams = _roll(hw, n)
+                fracs.append(1.0 - len(np.unique(grams)) / len(grams))
+        return fracs[0], fracs[1], top_tok
+
+    def batch_stats(b: pd.DataFrame) -> pd.DataFrame:
+        stats = [_doc_stats(t) for t in b["text"].tolist()]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "dup_2gram_frac": np.round([s[0] for s in stats], 6),
+                "dup_3gram_frac": np.round([s[1] for s in stats], 6),
+                "top_token_frac": np.round([s[2] for s in stats], 6),
+            }
+        )
+
+    out = (
+        ds.map_batches(batch_stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    if self_oracle_enabled(
+        parquet_num_rows(f"{sf_dir}/documents.parquet"), "repetition_stats"
+    ):
+        from collections import Counter
+
+        seq = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        for did, text in zip(seq["doc_id"], seq["text"]):
+            toks = text.split() if isinstance(text, str) else []
+            row = out.loc[out["doc_id"] == did].iloc[0]
+            if not toks:
+                assert row["top_token_frac"] == 0.0
+                continue
+            want_top = Counter(toks).most_common(1)[0][1] / len(toks)
+            assert abs(row["top_token_frac"] - round(want_top, 6)) < 1e-9
+            for n, col in ((2, "dup_2gram_frac"), (3, "dup_3gram_frac")):
+                grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                want = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+                assert abs(row[col] - round(want, 6)) < 1e-9, f"doc {did} {col}"
+    return out

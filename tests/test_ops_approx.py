@@ -525,3 +525,27 @@ def test_dup_span_overlapping_windows_union(ray_session, tmp_path):
     out = dup_span_token_stats(str(tmp_path), k=8).set_index("doc_id")
     assert int(out.loc[0, "n_dup_tokens"]) == 10
     assert int(out.loc[1, "n_dup_tokens"]) == 10
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    """Gopher repetition signals: a degenerate looping doc scores high
+    duplicate-ngram fractions; diverse text scores 0. The op asserts its
+    Counter recompute in-process."""
+    from canal_ray.ops.text import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "spam ham " * 20},                  # pure loop
+        {"doc_id": 1, "text": "all tokens completely different here today"},
+        {"doc_id": 2, "text": ""},
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = repetition_stats(str(tmp_path)).set_index("doc_id")
+    # 40 tokens alternating spam/ham: 39 bigrams, 2 unique -> 37/39 dup
+    assert abs(out.loc[0, "dup_2gram_frac"] - round(1 - 2 / 39, 6)) < 1e-9
+    assert out.loc[0, "top_token_frac"] == 0.5
+    assert out.loc[1, "dup_2gram_frac"] == 0.0
+    assert out.loc[1, "dup_3gram_frac"] == 0.0
+    assert out.loc[2, "top_token_frac"] == 0.0
