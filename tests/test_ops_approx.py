@@ -549,3 +549,34 @@ def test_repetition_stats_planted(ray_session, tmp_path):
     assert out.loc[1, "dup_2gram_frac"] == 0.0
     assert out.loc[1, "dup_3gram_frac"] == 0.0
     assert out.loc[2, "top_token_frac"] == 0.0
+
+
+def test_dedup_labels_to_parquet_minhash_method(ray_session, tmp_path):
+    """The lake-write path's minhash variant carries exactly the rows of
+    minhash_dedup_keep's DataFrame contract."""
+    import pandas as pd
+
+    from canal_ray.ops.dedup import dedup_labels_to_parquet, minhash_dedup_keep
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 2, "text": "totally different content in this document here"},
+        {"doc_id": 3, "text": "another unique piece of text entirely"},
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"; df["source"] = "s"; df["n_chars"] = df["text"].str.len()
+    sf = tmp_path / "sf"; sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+
+    want = minhash_dedup_keep(str(sf))
+    out_dir = str(tmp_path / "labels_mh")
+    dedup_labels_to_parquet(str(sf), out_dir, method="minhash", n_buckets=2)
+    got = (
+        pd.read_parquet(out_dir)[["doc_id", "dup_of", "is_dup"]]
+        .astype({"doc_id": "int64", "dup_of": "int64", "is_dup": "bool"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert bool(got.set_index("doc_id").loc[1, "is_dup"])
